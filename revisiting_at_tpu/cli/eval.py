@@ -1,0 +1,145 @@
+"""Robustness evaluation entry point (AA_eval.py rebuild).
+
+Loads a run checkpoint + its params.json (the config-as-artifact contract,
+AA_eval.py:134-138), rebuilds the model, optionally resizes ViT pos-embeds
+for high-res eval (AA_eval.py:196-211), and runs batched AutoAttack per
+norm with the reference ε table {Linf: 4/255, L2: 2, L1: 75}.
+
+Usage:
+  python -m revisiting_at_tpu.cli.eval --run_dir runs/<run> [--epoch N]
+      [--l_norms Linf] [--full_aa 0] [--img_size 224] [--n_ex 5000]
+      [--data_dir /path/to/imagenet/val] [--batch_size 200]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--run_dir", type=str, required=True)
+    p.add_argument("--epoch", type=int, default=-1, help="-1: latest checkpoint")
+    p.add_argument("--batch_size", type=int, default=200)
+    p.add_argument("--n_ex", type=int, default=5000)
+    p.add_argument("--l_norms", type=str, default="Linf", help="comma-separated")
+    p.add_argument("--eps", type=float, default=None)
+    p.add_argument("--full_aa", type=int, default=0)
+    p.add_argument("--img_size", type=int, default=224)
+    p.add_argument("--data_dir", type=str, default="")
+    p.add_argument("--only_clean", action="store_true")
+    p.add_argument("--use_ema", type=int, default=0)
+    p.add_argument("--save_imgs", action="store_true")
+    p.add_argument("--n_iter", type=int, default=100)
+    return p.parse_args(argv)
+
+
+def load_eval_set(args, num_classes: int):
+    """Fixed val subset: resize(/0.875)+center-crop at img_size
+    (AA_eval.py:104-117). Falls back to synthetic when no data_dir."""
+    if args.data_dir:
+        from ..data.folder import FolderConfig, make_folder_dataset
+
+        it_fn, _ = make_folder_dataset(
+            FolderConfig(
+                root=args.data_dir,
+                resolution=args.img_size,
+                batch_size=args.batch_size,
+                is_train=False,
+                drop_remainder=False,
+            )
+        )
+        xs, ys = [], []
+        n = 0
+        for img, lab in it_fn():
+            xs.append(img)
+            ys.append(lab)
+            n += len(lab)
+            if n >= args.n_ex:
+                break
+        x = np.concatenate(xs)[: args.n_ex].astype(np.float32) / 255.0
+        y = np.concatenate(ys)[: args.n_ex].astype(np.int64)
+        return x, y
+    rng = np.random.RandomState(0)
+    x = rng.uniform(0, 1, size=(args.n_ex, args.img_size, args.img_size, 3)).astype(
+        np.float32
+    )
+    y = rng.randint(0, num_classes, size=args.n_ex).astype(np.int64)
+    return x, y
+
+
+def main(argv=None):
+    args = get_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import load_params_json
+    from ..evals import EPS_DICT, SHORT_ATTACKS, STANDARD_ATTACKS, AutoAttack, AutoAttackConfig
+    from ..models import get_model, resize_vit_pos_embed
+    from ..utils.logging import EvalLogger
+
+    run_dir = Path(args.run_dir)
+    cfg = load_params_json(run_dir / "params.json")
+
+    model, meta = get_model(
+        cfg.model.arch,
+        not_original=bool(cfg.model.not_original),
+        updated=bool(cfg.model.updated),
+        num_classes=cfg.data.num_classes,
+        dtype=jnp.bfloat16,
+        use_blurpool=bool(cfg.training.use_blurpool),
+        add_normalization=bool(cfg.model.add_normalization),
+    )
+
+    # restore checkpoint via orbax
+    import orbax.checkpoint as ocp
+
+    mgr = ocp.CheckpointManager(str((run_dir / "ckpt").absolute()))
+    step = mgr.latest_step() if args.epoch < 0 else args.epoch
+    assert step is not None, f"no checkpoint in {run_dir}/ckpt"
+    restored = mgr.restore(step)
+    params = restored["ema_params"] if (args.use_ema and restored.get("ema_params")) else restored["params"]
+    batch_stats = restored.get("batch_stats")
+
+    if meta.family == "vit" and args.img_size != 224:
+        params = resize_vit_pos_embed(params, args.img_size, meta.patch_size)
+
+    variables = {"params": params}
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+
+    def logits_fn(xb):
+        return model.apply(variables, xb, train=False)
+
+    x, y = load_eval_set(args, cfg.data.num_classes)
+
+    norms = args.l_norms.split(",")
+    logger = EvalLogger(str(run_dir / f"evaluated_logs_{args.l_norms}_{args.full_aa}.txt"))
+
+    for norm in norms:
+        eps = args.eps if args.eps is not None else EPS_DICT["imagenet"][norm]
+        if eps > 1 and norm == "Linf":
+            eps /= 255.0
+        attacks = STANDARD_ATTACKS if args.full_aa else SHORT_ATTACKS
+        aa_cfg = AutoAttackConfig(
+            norm=norm, eps=eps, attacks_to_run=attacks, n_iter=args.n_iter,
+            batch_size=args.batch_size,
+        )
+        aa = AutoAttack(logits_fn, aa_cfg, logger=logger)
+        logger.log(f"norm={norm} eps={eps:.5f} attacks={attacks}")
+        if args.only_clean:
+            acc = aa.clean_accuracy(x, y).mean()
+            logger.log(f"clean accuracy: {acc:.2%}")
+            continue
+        x_adv, robust = aa.run_standard_evaluation(x, y)
+        logger.log(f"robust accuracy ({norm}): {robust.mean():.2%}")
+        if args.save_imgs:
+            np.save(run_dir / f"aa_adv_{args.n_ex}_{norm}_{eps:.5f}.npy", x_adv)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

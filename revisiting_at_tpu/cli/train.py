@@ -1,0 +1,90 @@
+"""Training entry point.
+
+Usage (reference run_train.sh parity):
+  python -m revisiting_at_tpu.cli.train \
+      --model.arch convnext_tiny --model.not_original 1 \
+      --adv.attack apgd --adv.n_iter 2 --adv.norm Linf --adv.eps 0.0156862745 \
+      --data.augmentations 1 --model.model_ema 1 \
+      --training.batch_size 80 --lr.lr 1e-3 --lr.lr_peak_epoch 20 \
+      --training.epochs 300 --training.label_smoothing 0.1 \
+      --data.dataset folder --data.train_dataset /path/to/imagenet/train ...
+
+No mp.spawn / process groups: a single process drives the whole mesh
+(multi-host via jax.distributed.initialize when launched per host).
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    from ..config import config_from_args
+
+    cfg = config_from_args(argv)
+
+    train_data = val_data = None
+    if cfg.data.dataset == "folder" and cfg.data.train_dataset:
+        import jax
+
+        from ..data.folder import FolderConfig, make_folder_dataset
+
+        train_iter_fn, n_train = make_folder_dataset(
+            FolderConfig(
+                root=cfg.data.train_dataset,
+                resolution=cfg.resolution.max_res,
+                batch_size=cfg.training.batch_size,
+                is_train=True,
+                seed=cfg.data.seed,
+                num_parallel=cfg.data.num_workers,
+                subset_size=cfg.data.subset_size,
+            ),
+            jax.process_index(),
+            jax.process_count(),
+        )
+
+        class _Wrap:
+            def __len__(self):
+                return n_train
+
+            def __iter__(self):
+                return iter(train_iter_fn())
+
+        train_data = _Wrap()
+        if cfg.data.val_dataset:
+            val_iter_fn, n_val = make_folder_dataset(
+                FolderConfig(
+                    root=cfg.data.val_dataset,
+                    resolution=cfg.validation.resolution,
+                    batch_size=cfg.validation.batch_size,
+                    is_train=False,
+                    drop_remainder=True,
+                ),
+                jax.process_index(),
+                jax.process_count(),
+            )
+
+            class _WrapV:
+                def __len__(self):
+                    return n_val
+
+                def __iter__(self):
+                    return iter(val_iter_fn())
+
+            val_data = _WrapV()
+
+    from ..train.trainer import Trainer
+
+    trainer = Trainer(cfg, train_data=train_data, val_data=val_data)
+    if cfg.model.ckpt_path:
+        trainer.try_resume()
+    if cfg.training.eval_only:
+        acc, n = trainer.single_val()
+        trainer.logger.log({"eval_only_acc": acc, "points": n})
+        return
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,191 @@
+"""Typed config system mirroring the reference's 9 fastargs sections.
+
+Parity with the Section/Param declarations (main.py:106-189) plus the
+`--section.param=value` CLI override syntax (run_train.sh:10-18) and the
+params.json dump the evaluator reads back to reconstruct the model
+(main.py:1105-1109, AA_eval.py:134-138) — config-as-artifact is a real
+cross-component contract we keep.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any, get_type_hints
+
+
+@dataclasses.dataclass
+class ModelSection:
+    arch: str = "convnext_tiny"
+    pretrained: int = 0
+    ckpt_path: str = ""
+    add_normalization: int = 1
+    not_original: int = 0
+    updated: int = 0
+    model_ema: float = 0.0  # 0 disables; >0 enables decay 0.9999
+    freeze_some: int = 0
+    early: int = 1
+    drop_path_rate: float = 0.0
+
+
+@dataclasses.dataclass
+class ResolutionSection:
+    min_res: int = 224
+    max_res: int = 224
+    end_ramp: int = 0
+    start_ramp: int = 0
+
+
+@dataclasses.dataclass
+class DataSection:
+    train_dataset: str = ""
+    val_dataset: str = ""
+    num_workers: int = 1
+    in_memory: int = 1
+    seed: int = 0
+    augmentations: int = 0
+    dataset: str = "folder"  # 'folder' | 'synthetic' | 'tfds'
+    num_classes: int = 1000
+    subset_size: int = 0  # >0: truncate train set (small-subset configs)
+
+
+@dataclasses.dataclass
+class LRSection:
+    step_ratio: float = 0.1
+    step_length: int = 30
+    lr_schedule_type: str = "cosine"
+    lr: float = 1e-3
+    lr_peak_epoch: int = 10
+
+
+@dataclasses.dataclass
+class LoggingSection:
+    folder: str = "./runs"
+    log_level: int = 1
+    save_freq: int = 1
+    addendum: str = ""
+
+
+@dataclasses.dataclass
+class ValidationSection:
+    batch_size: int = 64
+    resolution: int = 224
+    lr_tta: int = 0
+    max_batches: int = 200  # reference single_val caps at 200 batches (main.py:928)
+
+
+@dataclasses.dataclass
+class TrainingSection:
+    eval_only: int = 0
+    batch_size: int = 512  # GLOBAL batch (sharded over the mesh)
+    optimizer: str = "adamw"
+    momentum: float = 0.9
+    weight_decay: float = 0.05
+    epochs: int = 100
+    label_smoothing: float = 0.1
+    distributed: int = 0
+    use_blurpool: int = 0
+    precision: str = "bf16"  # 'bf16' | 'fp32' (replaces fp16+GradScaler)
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class DistSection:
+    world_size: int = 1  # informational; the mesh derives from jax.devices()
+    fsdp: int = 1  # parameter-sharding axis size (1 = pure DP)
+    address: str = "localhost"
+    port: str = "12355"
+
+
+@dataclasses.dataclass
+class AdvSection:
+    attack: str = "none"
+    norm: str = "Linf"
+    eps: float = 4.0 / 255.0
+    n_iter: int = 2
+    verbose: int = 0
+    noise_level: float = 1.0
+    skip_projection: int = 0
+    alpha: float = 1.0
+
+
+@dataclasses.dataclass
+class MiscSection:
+    notes: str = ""
+    use_channel_last: int = 1  # NHWC is native on TPU; kept for config parity
+
+
+@dataclasses.dataclass
+class Config:
+    model: ModelSection = dataclasses.field(default_factory=ModelSection)
+    resolution: ResolutionSection = dataclasses.field(default_factory=ResolutionSection)
+    data: DataSection = dataclasses.field(default_factory=DataSection)
+    lr: LRSection = dataclasses.field(default_factory=LRSection)
+    logging: LoggingSection = dataclasses.field(default_factory=LoggingSection)
+    validation: ValidationSection = dataclasses.field(default_factory=ValidationSection)
+    training: TrainingSection = dataclasses.field(default_factory=TrainingSection)
+    dist: DistSection = dataclasses.field(default_factory=DistSection)
+    adv: AdvSection = dataclasses.field(default_factory=AdvSection)
+    misc: MiscSection = dataclasses.field(default_factory=MiscSection)
+
+    # ---- params.json contract (flat 'section.param' keys, like fastargs) ----
+    def to_flat_dict(self) -> dict[str, Any]:
+        out = {}
+        for f in dataclasses.fields(self):
+            section = getattr(self, f.name)
+            for sf in dataclasses.fields(section):
+                out[f"{f.name}.{sf.name}"] = getattr(section, sf.name)
+        return out
+
+    def dump_params_json(self, path: str | Path) -> None:
+        Path(path).write_text(json.dumps(self.to_flat_dict(), indent=2))
+
+    def set_flat(self, key: str, value: str) -> None:
+        sec_name, param = key.split(".", 1)
+        section = getattr(self, sec_name)
+        if not hasattr(section, param):
+            raise KeyError(f"unknown config key {key!r}")
+        current = getattr(section, param)
+        hints = get_type_hints(type(section))
+        typ = hints.get(param, type(current))
+        if typ is bool:
+            value = value.lower() in ("1", "true", "yes")
+        else:
+            value = typ(value)
+        setattr(section, param, value)
+
+
+def config_from_args(argv: list[str]) -> Config:
+    """Parse `--section.param value` / `--section.param=value` CLI overrides."""
+    cfg = Config()
+    i = 0
+    while i < len(argv):
+        arg = argv[i]
+        if not arg.startswith("--"):
+            raise ValueError(f"unexpected argument {arg!r}")
+        arg = arg[2:]
+        if "=" in arg:
+            key, value = arg.split("=", 1)
+            i += 1
+        else:
+            key = arg
+            if i + 1 >= len(argv):
+                raise ValueError(f"missing value for --{key}")
+            value = argv[i + 1]
+            i += 2
+        cfg.set_flat(key, value)
+    return cfg
+
+
+def load_params_json(path: str | Path) -> Config:
+    """Reconstruct a Config from a run's params.json (the AA_eval.py:134-138
+    contract: the evaluator rebuilds the model from the training run's config)."""
+    cfg = Config()
+    flat = json.loads(Path(path).read_text())
+    for key, value in flat.items():
+        try:
+            cfg.set_flat(key, str(value))
+        except (KeyError, ValueError):
+            pass  # forward-compat: ignore unknown keys
+    return cfg

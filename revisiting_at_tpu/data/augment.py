@@ -1,0 +1,289 @@
+"""On-device RandAugment + RandomErasing (jitted, vmapped over the batch).
+
+TPU-native re-design of the reference's CPU-side timm augmentation stack
+(dataset_convnext_like.py:57-83 with parserr.Arguments_augment: RandAugment
+'rand-m9-mstd0.5-inc1', RandomErasing p=0.25 'pixel' mode). With TPU hosts
+(and this image's single CPU core) PIL-on-host can't feed a 2-step-APGD
+train loop; these transforms run on device as part of the input program.
+
+Semantics follow timm's increasing-severity RandAugment: 2 ops per image
+drawn uniformly from 15 transforms, each applied with prob 0.5, magnitude
+~ N(9, 0.5) clipped to [0, 10]. Geometric ops (rotate/shear/translate) are
+a single bilinear affine warp with fill 0.5 (timm fill 128). Equalize uses
+exact-histogram CDF mapping (PIL's LUT rounding differs at the last bit —
+augmentation-grade approximation, documented deviation).
+
+RandomErasing 'pixel' mode fills the box with N(0,1) noise — deliberately
+NOT clamped to [0,1], matching timm-on-ToTensor'd-images in the reference
+pipeline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------- pixel ops
+
+def _blend(a: Array, b: Array, factor: Array) -> Array:
+    return b + factor * (a - b)
+
+
+def _gray(x: Array) -> Array:
+    w = jnp.array([0.299, 0.587, 0.114], x.dtype)
+    return jnp.sum(x * w, axis=-1, keepdims=True)
+
+
+def invert(x: Array, _lvl) -> Array:
+    return 1.0 - x
+
+
+def autocontrast(x: Array, _lvl) -> Array:
+    lo = jnp.min(x, axis=(0, 1), keepdims=True)
+    hi = jnp.max(x, axis=(0, 1), keepdims=True)
+    scale = jnp.where(hi > lo, 1.0 / (hi - lo + 1e-12), 1.0)
+    return jnp.clip((x - lo) * scale, 0.0, 1.0)
+
+
+def equalize(x: Array, _lvl) -> Array:
+    def eq_channel(c: Array) -> Array:
+        v = jnp.clip(jnp.floor(c * 255.0), 0, 255).astype(jnp.int32)
+        hist = jnp.zeros((256,), jnp.float32).at[v.reshape(-1)].add(1.0)
+        cdf = jnp.cumsum(hist)
+        cdf_min = cdf[jnp.argmax(hist > 0)]
+        n = v.size
+        denom = jnp.maximum(n - cdf_min, 1.0)
+        lut = jnp.clip(jnp.round((cdf - cdf_min) / denom * 255.0), 0, 255)
+        return lut[v] / 255.0
+
+    return jnp.stack([eq_channel(x[..., i]) for i in range(3)], axis=-1)
+
+
+def posterize(x: Array, lvl: Array) -> Array:
+    bits = 4 - jnp.floor(lvl / 10.0 * 4.0).astype(jnp.int32)  # increasing severity
+    bits = jnp.maximum(bits, 1)
+    keep = jnp.left_shift(jnp.asarray(255, jnp.int32), 8 - bits) & 255
+    v = jnp.clip(jnp.floor(x * 255.0), 0, 255).astype(jnp.int32)
+    return (v & keep).astype(jnp.float32) / 255.0
+
+
+def solarize(x: Array, lvl: Array) -> Array:
+    thresh = (256.0 - lvl / 10.0 * 256.0) / 255.0  # increasing severity
+    return jnp.where(x >= thresh, 1.0 - x, x)
+
+
+def solarize_add(x: Array, lvl: Array) -> Array:
+    add = lvl / 10.0 * 110.0 / 255.0
+    return jnp.where(x < 128.0 / 255.0, jnp.clip(x + add, 0.0, 1.0), x)
+
+
+def _enh_factor(lvl: Array, sign: Array) -> Array:
+    return 1.0 + sign * lvl / 10.0 * 0.9
+
+
+def color(x: Array, lvl: Array, sign: Array = 1.0) -> Array:
+    return jnp.clip(_blend(x, jnp.broadcast_to(_gray(x), x.shape), _enh_factor(lvl, sign)), 0, 1)
+
+
+def contrast(x: Array, lvl: Array, sign: Array = 1.0) -> Array:
+    mean = jnp.mean(_gray(x))
+    return jnp.clip(_blend(x, jnp.full_like(x, mean), _enh_factor(lvl, sign)), 0, 1)
+
+
+def brightness(x: Array, lvl: Array, sign: Array = 1.0) -> Array:
+    return jnp.clip(_blend(x, jnp.zeros_like(x), _enh_factor(lvl, sign)), 0, 1)
+
+
+def sharpness(x: Array, lvl: Array, sign: Array = 1.0) -> Array:
+    # PIL SMOOTH kernel, applied per channel with edge replication
+    k = jnp.array([[1, 1, 1], [1, 5, 1], [1, 1, 1]], x.dtype) / 13.0
+    xpad = jnp.pad(x, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    sm = jax.lax.conv_general_dilated(
+        xpad[None].transpose(0, 3, 1, 2).reshape(3, 1, *xpad.shape[:2]),
+        k[None, None],
+        (1, 1),
+        "VALID",
+    ).reshape(3, *x.shape[:2]).transpose(1, 2, 0)
+    return jnp.clip(_blend(x, sm, _enh_factor(lvl, sign)), 0, 1)
+
+
+# ------------------------------------------------------------ geometric ops
+
+def _affine_sample(x: Array, mat: Array, fill: float = 0.5) -> Array:
+    """Bilinear sample x at A @ [xo, yo, 1] (PIL inverse-affine convention)."""
+    h, w, _ = x.shape
+    yo = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xo = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    xi = mat[0, 0] * xo + mat[0, 1] * yo + mat[0, 2]
+    yi = mat[1, 0] * xo + mat[1, 1] * yo + mat[1, 2]
+
+    x0 = jnp.floor(xi)
+    y0 = jnp.floor(yi)
+    wx = xi - x0
+    wy = yi - y0
+
+    def gather(yy, xx):
+        inb = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        yc = jnp.clip(yy, 0, h - 1).astype(jnp.int32)
+        xc = jnp.clip(xx, 0, w - 1).astype(jnp.int32)
+        vals = x[yc, xc]
+        return jnp.where(inb[..., None], vals, fill)
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    wx = wx[..., None]
+    wy = wy[..., None]
+    return (
+        v00 * (1 - wx) * (1 - wy)
+        + v01 * wx * (1 - wy)
+        + v10 * (1 - wx) * wy
+        + v11 * wx * wy
+    )
+
+
+def _rotate_mat(deg: Array, h: int, w: int) -> Array:
+    th = -deg * jnp.pi / 180.0  # PIL rotates counter-clockwise; inverse map
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    c, s = jnp.cos(th), jnp.sin(th)
+    # inverse affine about center
+    return jnp.array(
+        [
+            [c, -s, cx - c * cx + s * cy],
+            [s, c, cy - s * cx - c * cy],
+        ]
+    )
+
+
+def _shear_x_mat(level: Array) -> Array:
+    return jnp.array([[1.0, level, 0.0], [0.0, 1.0, 0.0]])
+
+
+def _shear_y_mat(level: Array) -> Array:
+    return jnp.array([[1.0, 0.0, 0.0], [level, 1.0, 0.0]])
+
+
+def _translate_x_mat(pixels: Array) -> Array:
+    return jnp.array([[1.0, 0.0, pixels], [0.0, 1.0, 0.0]])
+
+
+def _translate_y_mat(pixels: Array) -> Array:
+    return jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, pixels]])
+
+
+# ------------------------------------------------------------- rand augment
+
+@dataclasses.dataclass(frozen=True)
+class RandAugmentConfig:
+    magnitude: float = 9.0
+    mstd: float = 0.5
+    num_layers: int = 2
+    prob: float = 0.5
+
+
+N_OPS = 15  # timm _RAND_INCREASING_TRANSFORMS
+
+
+def _apply_op(x: Array, op_idx: Array, lvl: Array, sign: Array) -> Array:
+    h, w, _ = x.shape
+
+    def geo(mat_fn):
+        return lambda xx: _affine_sample(xx, mat_fn())
+
+    branches = [
+        lambda xx: autocontrast(xx, lvl),  # 0
+        lambda xx: equalize(xx, lvl),  # 1
+        lambda xx: invert(xx, lvl),  # 2
+        geo(lambda: _rotate_mat(sign * lvl / 10.0 * 30.0, h, w)),  # 3 Rotate
+        lambda xx: posterize(xx, lvl),  # 4
+        lambda xx: solarize(xx, lvl),  # 5
+        lambda xx: solarize_add(xx, lvl),  # 6
+        lambda xx: color(xx, lvl, sign),  # 7
+        lambda xx: contrast(xx, lvl, sign),  # 8
+        lambda xx: brightness(xx, lvl, sign),  # 9
+        lambda xx: sharpness(xx, lvl, sign),  # 10
+        geo(lambda: _shear_x_mat(sign * lvl / 10.0 * 0.3)),  # 11
+        geo(lambda: _shear_y_mat(sign * lvl / 10.0 * 0.3)),  # 12
+        geo(lambda: _translate_x_mat(sign * lvl / 10.0 * 0.45 * w)),  # 13
+        geo(lambda: _translate_y_mat(sign * lvl / 10.0 * 0.45 * h)),  # 14
+    ]
+    return jax.lax.switch(op_idx, branches, x)
+
+
+def rand_augment_single(rng: Array, img: Array, cfg: RandAugmentConfig) -> Array:
+    x = img
+    for layer in range(cfg.num_layers):
+        k = jax.random.fold_in(rng, layer)
+        k_op, k_apply, k_lvl, k_sign = jax.random.split(k, 4)
+        op_idx = jax.random.randint(k_op, (), 0, N_OPS)
+        lvl = jnp.clip(
+            cfg.magnitude + cfg.mstd * jax.random.normal(k_lvl), 0.0, 10.0
+        )
+        sign = jnp.where(jax.random.bernoulli(k_sign), 1.0, -1.0)
+        apply = jax.random.bernoulli(k_apply, cfg.prob)
+        x = jnp.where(apply, _apply_op(x, op_idx, lvl, sign), x)
+    return x
+
+
+def random_erasing_single(
+    rng: Array,
+    img: Array,
+    prob: float = 0.25,
+    min_area: float = 0.02,
+    max_area: float = 1.0 / 3.0,
+    min_aspect: float = 0.3,
+) -> Array:
+    """timm RandomErasing, mode='pixel', count=1: N(0,1) fill, unclamped."""
+    h, w, c = img.shape
+    keys = jax.random.split(rng, 6)
+    apply = jax.random.bernoulli(keys[0], prob)
+    area = h * w
+    target = area * jax.random.uniform(keys[1], minval=min_area, maxval=max_area)
+    log_r = jax.random.uniform(
+        keys[2], minval=jnp.log(min_aspect), maxval=jnp.log(1.0 / min_aspect)
+    )
+    aspect = jnp.exp(log_r)
+    eh = jnp.clip(jnp.round(jnp.sqrt(target * aspect)), 1, h).astype(jnp.int32)
+    ew = jnp.clip(jnp.round(jnp.sqrt(target / aspect)), 1, w).astype(jnp.int32)
+    top = jax.random.randint(keys[3], (), 0, jnp.maximum(h - eh, 1))
+    left = jax.random.randint(keys[4], (), 0, jnp.maximum(w - ew, 1))
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w, 1), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w, 1), 1)
+    box = (ys >= top) & (ys < top + eh) & (xs >= left) & (xs < left + ew)
+    noise = jax.random.normal(keys[5], img.shape, img.dtype)
+    return jnp.where(jnp.logical_and(apply, box), noise, img)
+
+
+def hflip_single(rng: Array, img: Array, prob: float = 0.5) -> Array:
+    return jnp.where(jax.random.bernoulli(rng, prob), img[:, ::-1, :], img)
+
+
+@partial(jax.jit, static_argnames=("cfg", "use_randaug", "re_prob", "hflip"))
+def augment_batch(
+    rng: Array,
+    images: Array,
+    cfg: RandAugmentConfig = RandAugmentConfig(),
+    use_randaug: bool = True,
+    re_prob: float = 0.25,
+    hflip: float = 0.5,
+) -> Array:
+    """Full on-device train-time augmentation for a uint8/float NHWC batch."""
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
+    b = images.shape[0]
+    keys = jax.random.split(rng, 3 * b).reshape(3, b, -1)
+
+    if hflip > 0:
+        images = jax.vmap(partial(hflip_single, prob=hflip))(keys[0], images)
+    if use_randaug:
+        images = jax.vmap(lambda k, im: rand_augment_single(k, im, cfg))(keys[1], images)
+    if re_prob > 0:
+        images = jax.vmap(partial(random_erasing_single, prob=re_prob))(keys[2], images)
+    return images

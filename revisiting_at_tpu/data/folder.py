@@ -1,0 +1,119 @@
+"""Host-side ImageFolder pipeline on tf.data (compiled C++ decode path).
+
+Replaces the reference's torchvision ImageFolder + PIL transforms
+(dataset_convnext_like.py:16-106) and the FFCV role (its dead fast-loader
+path, main.py:483-547): tf.data gives native-code JPEG decode +
+RandomResizedCrop fused into `decode_and_crop_jpeg`, parallel file reads
+and prefetch — per jax process, sharded by process_index (the
+DistributedSampler replacement, SURVEY.md §5 'distributed backend').
+
+The heavy photometric augmentations (RandAugment/erasing/mixup) run
+ON DEVICE (data/augment.py, data/mixup.py); this loader only decodes,
+crops to the training resolution, and batches uint8.
+
+Expected layout: root/{train,val}/<class_dir>/<image files> (ImageFolder).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class FolderConfig:
+    root: str
+    resolution: int = 224
+    batch_size: int = 80
+    is_train: bool = True
+    crop_pct: float = 0.875  # eval: resize /crop_pct + center crop (AA_eval.py:104-115)
+    scale: tuple[float, float] = (0.08, 1.0)  # RRC area range (parserr.py:39)
+    ratio: tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0)
+    num_parallel: int = 8
+    seed: int = 0
+    shuffle_buffer: int = 8192
+    drop_remainder: bool = True
+    subset_size: int = 0
+
+
+def list_image_folder(root: str | Path) -> tuple[list[str], list[int], list[str]]:
+    """(file paths, int labels, class names) — torchvision ImageFolder semantics
+    (classes sorted lexicographically)."""
+    root = Path(root)
+    classes = sorted(d.name for d in root.iterdir() if d.is_dir())
+    class_to_idx = {c: i for i, c in enumerate(classes)}
+    files, labels = [], []
+    exts = {".jpg", ".jpeg", ".png", ".bmp", ".webp", ".JPEG", ".JPG", ".PNG"}
+    for c in classes:
+        for f in sorted((root / c).rglob("*")):
+            if f.suffix in exts:
+                files.append(str(f))
+                labels.append(class_to_idx[c])
+    return files, labels, classes
+
+
+def make_folder_dataset(cfg: FolderConfig, process_index: int = 0, process_count: int = 1):
+    """Returns a tf.data iterator of (uint8 images [B,R,R,3], int32 labels [B])."""
+    import tensorflow as tf
+
+    tf.config.set_visible_devices([], "GPU")
+    tf.config.set_visible_devices([], "TPU")
+
+    files, labels, _ = list_image_folder(cfg.root)
+    if cfg.subset_size > 0:
+        files, labels = files[: cfg.subset_size], labels[: cfg.subset_size]
+    ds = tf.data.Dataset.from_tensor_slices((files, np.asarray(labels, np.int32)))
+    ds = ds.shard(process_count, process_index)
+
+    if cfg.is_train:
+        ds = ds.shuffle(min(cfg.shuffle_buffer, max(len(files), 1)), seed=cfg.seed,
+                        reshuffle_each_iteration=True)
+
+    res = cfg.resolution
+
+    def load_train(path, label):
+        raw = tf.io.read_file(path)
+        shape = tf.image.extract_jpeg_shape(raw)
+        bbox = tf.image.sample_distorted_bounding_box(
+            shape,
+            bounding_boxes=tf.zeros([1, 0, 4]),
+            area_range=cfg.scale,
+            aspect_ratio_range=cfg.ratio,
+            max_attempts=10,
+            use_image_if_no_bounding_boxes=True,
+        )
+        offset, size, _ = bbox
+        crop = tf.stack(
+            [offset[0], offset[1], size[0], size[1]]
+        )
+        img = tf.image.decode_and_crop_jpeg(raw, crop, channels=3)
+        img = tf.image.resize(img, (res, res), method="bicubic")
+        img = tf.cast(tf.clip_by_value(img, 0, 255), tf.uint8)
+        return img, label
+
+    def load_eval(path, label):
+        raw = tf.io.read_file(path)
+        img = tf.image.decode_image(raw, channels=3, expand_animations=False)
+        shape = tf.shape(img)
+        h, w = shape[0], shape[1]
+        scale_size = tf.cast(tf.math.floor(res / cfg.crop_pct), tf.int32)
+        short = tf.minimum(h, w)
+        ratio = tf.cast(scale_size, tf.float32) / tf.cast(short, tf.float32)
+        nh = tf.cast(tf.round(tf.cast(h, tf.float32) * ratio), tf.int32)
+        nw = tf.cast(tf.round(tf.cast(w, tf.float32) * ratio), tf.int32)
+        img = tf.image.resize(img, (nh, nw), method="bicubic")
+        top = (nh - res) // 2
+        left = (nw - res) // 2
+        img = tf.image.crop_to_bounding_box(img, top, left, res, res)
+        img = tf.cast(tf.clip_by_value(img, 0, 255), tf.uint8)
+        return img, label
+
+    ds = ds.map(
+        load_train if cfg.is_train else load_eval,
+        num_parallel_calls=cfg.num_parallel,
+    )
+    ds = ds.batch(cfg.batch_size, drop_remainder=cfg.drop_remainder)
+    ds = ds.prefetch(4)
+    return ds.as_numpy_iterator, len(files) // (cfg.batch_size * process_count)

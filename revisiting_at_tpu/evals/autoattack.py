@@ -1,0 +1,225 @@
+"""Batched AutoAttack evaluator sharded over the mesh.
+
+Rebuild of the reference's evaluation stack (AA_eval.py + the autoattack
+library it calls, SURVEY.md §3.3): standard AutoAttack = APGD-CE ->
+APGD-T (9 targets, DLR-targeted) -> FAB-T -> Square, each attack run ONLY
+on still-robust points (worklist semantics), robust accuracy re-scored on
+the returned adversarial examples.
+
+TPU design: attacks are jitted fixed-shape kernels; the worklist lives on
+host as a boolean mask — between attacks we gather still-robust indices,
+pad to the batch size, run the kernel, and scatter flipped points back.
+ε-ball invariants are verified on every returned point (the reference's
+check_imgs culture, utils_eval.py:67-81).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..attacks.apgd import apgd_attack
+from ..ops.norms import check_imgs
+from .fab import fab_attack_targeted
+from .square import square_attack
+
+Array = jax.Array
+
+# reference AA_eval.py:33
+EPS_DICT = {"imagenet": {"Linf": 4.0 / 255.0, "L2": 2.0, "L1": 75.0}}
+
+STANDARD_ATTACKS = ("apgd-ce", "apgd-t", "fab-t", "square")
+SHORT_ATTACKS = ("apgd-ce", "apgd-t")  # reference full_aa=0 (AA_eval.py:230-231)
+
+
+@dataclasses.dataclass
+class AutoAttackConfig:
+    norm: str = "Linf"
+    eps: float = 4.0 / 255.0
+    attacks_to_run: Sequence[str] = STANDARD_ATTACKS
+    n_iter: int = 100
+    n_target_classes: int = 9
+    square_n_queries: int = 5000
+    seed: int = 0
+    batch_size: int = 200
+    verbose: bool = True
+
+
+class AutoAttack:
+    """`AutoAttack(logits_fn, cfg).run_standard_evaluation(x, y)` -> x_adv.
+
+    logits_fn: jittable (batch NHWC [0,1]) -> logits [B, C] closure over the
+    trained params (eval mode).
+    """
+
+    def __init__(self, logits_fn: Callable[[Array], Array], cfg: AutoAttackConfig,
+                 logger=None):
+        self.fn = logits_fn
+        self.cfg = cfg
+        self.log = (logger.log if logger is not None else print)
+        self._jit_logits = jax.jit(logits_fn)
+
+        n_iter = cfg.n_iter
+
+        @partial(jax.jit, static_argnames=())
+        def _apgd_ce(x, y, rng):
+            res = apgd_attack(
+                logits_fn, x, y, norm=cfg.norm, eps=cfg.eps, n_iter=n_iter,
+                loss="ce", is_train=False, rng=rng, random_start=True,
+            )
+            return res.x_best_adv, res.acc
+
+        @jax.jit
+        def _apgd_t(x, y, y_target, rng):
+            res = apgd_attack(
+                logits_fn, x, y, norm=cfg.norm, eps=cfg.eps, n_iter=n_iter,
+                loss="dlr-targeted", y_target=y_target, is_train=False,
+                rng=rng, random_start=True,
+            )
+            return res.x_best_adv, res.acc
+
+        self._apgd_ce = _apgd_ce
+        self._apgd_t = _apgd_t
+
+    # ----------------------------------------------------------- utilities
+    def clean_accuracy(self, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        """Per-point correctness, batched (robustbench clean_accuracy role)."""
+        bs = self.cfg.batch_size
+        out = np.zeros(len(x), bool)
+        for i in range(0, len(x), bs):
+            xb, yb, n = self._pad(x[i : i + bs], y[i : i + bs])
+            logits = np.asarray(self._jit_logits(jnp.asarray(xb)))
+            out[i : i + n] = logits.argmax(-1)[:n] == yb[:n]
+        return out
+
+    def _pad(self, xb, yb):
+        n = len(xb)
+        bs = self.cfg.batch_size
+        if n < bs:
+            xb = np.concatenate([xb, np.repeat(xb[-1:], bs - n, axis=0)])
+            yb = np.concatenate([yb, np.repeat(yb[-1:], bs - n, axis=0)])
+        return xb, yb, n
+
+    def _top_target_classes(self, x: np.ndarray) -> np.ndarray:
+        """[N, n_target_classes] target labels: 2nd..k-th most likely class."""
+        bs = self.cfg.batch_size
+        k = self.cfg.n_target_classes
+        out = np.zeros((len(x), k), np.int32)
+        for i in range(0, len(x), bs):
+            xb = x[i : i + bs]
+            n = len(xb)
+            xb, _, _ = self._pad(xb, np.zeros(len(xb), np.int32))
+            logits = np.asarray(self._jit_logits(jnp.asarray(xb)))[:n]
+            order = np.argsort(logits, axis=-1)  # ascending
+            out[i : i + n] = order[:, -2 : -2 - k : -1]  # 2nd ... (k+1)-th
+        return out
+
+    # -------------------------------------------------------------- driver
+    def run_standard_evaluation(
+        self, x: np.ndarray, y: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (x_adv, robust_mask). x NHWC [0,1] float32, y int labels."""
+        cfg = self.cfg
+        x = np.asarray(x, np.float32)
+        y = np.asarray(y, np.int64)
+        x_adv = x.copy()
+
+        robust = self.clean_accuracy(x, y)
+        self.log(f"initial (clean) accuracy: {robust.mean():.2%}")
+
+        rng = jax.random.PRNGKey(cfg.seed)
+
+        for attack_idx, attack in enumerate(cfg.attacks_to_run):
+            idx = np.where(robust)[0]
+            if len(idx) == 0:
+                break
+            flipped_x, flipped_mask = self._run_attack(
+                attack, x[idx], y[idx], jax.random.fold_in(rng, attack_idx)
+            )
+            newly_broken = idx[flipped_mask]
+            x_adv[newly_broken] = flipped_x[flipped_mask]
+            robust[newly_broken] = False
+            self.log(
+                f"robust accuracy after {attack.upper()}: {robust.mean():.2%} "
+                f"(broke {flipped_mask.sum()}/{len(idx)})"
+            )
+
+        # ε-ball + range invariants on every adversarial point (check_imgs)
+        max_norm, lo, hi = check_imgs(jnp.asarray(x_adv), jnp.asarray(x), cfg.norm)
+        self.log(
+            f"max {cfg.norm} perturbation: {max_norm:.5f}, "
+            f"image range [{lo:.5f}, {hi:.5f}]"
+        )
+        assert max_norm <= cfg.eps * 1.001 + 1e-6, "eps-ball violated"
+
+        # re-score (reference AA_eval.py:241-243 re-checks with clean_accuracy)
+        rescored = self.clean_accuracy(x_adv, y)
+        self.log(f"robust accuracy (re-scored on x_adv): {rescored.mean():.2%}")
+        return x_adv, robust
+
+    # ------------------------------------------------------- attack kernels
+    def _run_attack(self, attack: str, x: np.ndarray, y: np.ndarray, rng):
+        """Run one attack over the worklist subset. Returns (x_candidates,
+        flipped bool mask) aligned with x."""
+        cfg = self.cfg
+        bs = cfg.batch_size
+        n = len(x)
+        out_x = x.copy()
+        flipped = np.zeros(n, bool)
+
+        for i in range(0, n, bs):
+            xb, yb, nb = self._pad(x[i : i + bs], y[i : i + bs])
+            xb_j, yb_j = jnp.asarray(xb), jnp.asarray(yb)
+            kb = jax.random.fold_in(rng, i)
+
+            if attack == "apgd-ce":
+                adv, acc = self._apgd_ce(xb_j, yb_j, kb)
+                adv, acc = np.asarray(adv), np.asarray(acc)
+                got = ~acc[:nb]
+                out_x[i : i + nb][got] = adv[:nb][got]
+                flipped[i : i + nb] |= got
+
+            elif attack == "apgd-t":
+                targets = self._top_target_classes(xb)
+                still = np.ones(nb, bool)
+                for t in range(cfg.n_target_classes):
+                    if not still.any():
+                        break
+                    yt = jnp.asarray(targets[:, t].astype(np.int64))
+                    adv, acc = self._apgd_t(xb_j, yb_j, yt, jax.random.fold_in(kb, t))
+                    adv, acc = np.asarray(adv), np.asarray(acc)
+                    got = (~acc[:nb]) & still
+                    out_x[i : i + nb][got] = adv[:nb][got]
+                    flipped[i : i + nb] |= got
+                    still &= acc[:nb]
+
+            elif attack == "fab-t":
+                targets = self._top_target_classes(xb)
+                adv, success = fab_attack_targeted(
+                    self.fn, xb_j, yb_j, jnp.asarray(targets.astype(np.int64)),
+                    norm=cfg.norm, eps=cfg.eps, n_iter=cfg.n_iter, rng=kb,
+                )
+                adv, success = np.asarray(adv), np.asarray(success)
+                got = success[:nb]
+                out_x[i : i + nb][got] = adv[:nb][got]
+                flipped[i : i + nb] |= got
+
+            elif attack == "square":
+                adv, acc = square_attack(
+                    self.fn, xb_j, yb_j, norm=cfg.norm, eps=cfg.eps,
+                    n_queries=cfg.square_n_queries, rng=kb,
+                )
+                adv, acc = np.asarray(adv), np.asarray(acc)
+                got = ~acc[:nb]
+                out_x[i : i + nb][got] = adv[:nb][got]
+                flipped[i : i + nb] |= got
+
+            else:
+                raise ValueError(f"unknown attack {attack!r}")
+
+        return out_x, flipped

@@ -1,0 +1,202 @@
+"""Vision Transformer (ViT-S / DeiT-S / DeiT3-Medium / ViT-B) in Flax.
+
+Capability parity with the reference's timm-built ViTs
+(utils_architecture.py:271-301): class token, learned pos-embed, pre-LN
+blocks, optional LayerScale (DeiT3), optional `no_embed_class` (DeiT3 adds
+pos-embed to patch tokens only), pluggable patch embedding so the ConvStem
+variants can replace `patch_embed.proj`.
+
+TPU-first: tokens stay [B, N, D] with N=197 @224 — attention is tiny here,
+the MXU time is in the MLPs; softmax accumulates in f32, everything else
+bf16-computable.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import DropPath, LayerNorm, trunc_normal_init
+from .stems import PatchEmbed
+
+
+class Attention(nn.Module):
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, N, D = x.shape
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(
+            3 * self.dim,
+            use_bias=self.qkv_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal_init,
+            name="qkv",
+        )(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, hd]
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
+        attn = attn * (head_dim**-0.5)
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, D)
+        return nn.Dense(
+            self.dim,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal_init,
+            name="proj",
+        )(out)
+
+
+class Mlp(nn.Module):
+    dim: int
+    hidden: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Dense(
+            self.hidden,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal_init,
+            name="fc1",
+        )(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(
+            self.dim,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal_init,
+            name="fc2",
+        )(x)
+
+
+class ViTBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    init_values: float | None = None  # LayerScale (DeiT3 uses 1e-6)
+    dtype: jnp.dtype = jnp.float32
+
+    def _ls(self, name: str, x: jax.Array) -> jax.Array:
+        if self.init_values is None:
+            return x
+        gamma = self.param(
+            name, nn.initializers.constant(self.init_values), (self.dim,), jnp.float32
+        )
+        return x * gamma.astype(x.dtype)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        y = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = Attention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(y)
+        y = self._ls("ls1", y)
+        x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic=not train)
+        y = LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = Mlp(self.dim, int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp")(y)
+        y = self._ls("ls2", y)
+        x = x + DropPath(self.drop_path, name="drop_path2")(y, deterministic=not train)
+        return x
+
+
+class VisionTransformer(nn.Module):
+    """Generic ViT with pluggable patch embedding.
+
+    embed_factory: module factory producing the patch feature map
+    [B, H/P, W/P, D] from NHWC images — the timm `patch_embed.proj` slot the
+    reference swaps for a ConvStem (utils_architecture.py:275,284,291,301).
+    """
+
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    num_classes: int = 1000
+    patch_size: int = 16
+    drop_path_rate: float = 0.0
+    init_values: float | None = None
+    no_embed_class: bool = False
+    num_prefix_tokens: int = 1  # class token
+    dtype: jnp.dtype = jnp.float32
+    embed_factory: Callable[..., nn.Module] | None = None
+    use_blurpool: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        if self.embed_factory is not None:
+            feat = self.embed_factory(dtype=self.dtype, use_blurpool=self.use_blurpool)(x)
+        else:
+            feat = PatchEmbed(
+                self.embed_dim,
+                self.patch_size,
+                dtype=self.dtype,
+                use_blurpool=self.use_blurpool,
+                name="patch_embed",
+            )(x)
+        B, H, W, D = feat.shape
+        tokens = feat.reshape(B, H * W, D)
+
+        cls = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, self.embed_dim), jnp.float32
+        )
+        cls = jnp.broadcast_to(cls.astype(tokens.dtype), (B, 1, self.embed_dim))
+
+        if self.no_embed_class:
+            pos = self.param(
+                "pos_embed", trunc_normal_init, (1, H * W, self.embed_dim), jnp.float32
+            )
+            tokens = tokens + pos.astype(tokens.dtype)
+            tokens = jnp.concatenate([cls, tokens], axis=1)
+        else:
+            pos = self.param(
+                "pos_embed",
+                trunc_normal_init,
+                (1, H * W + self.num_prefix_tokens, self.embed_dim),
+                jnp.float32,
+            )
+            tokens = jnp.concatenate([cls, tokens], axis=1)
+            tokens = tokens + pos.astype(tokens.dtype)
+
+        dp = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
+        for i in range(self.depth):
+            tokens = ViTBlock(
+                self.embed_dim,
+                self.num_heads,
+                self.mlp_ratio,
+                drop_path=dp[i],
+                init_values=self.init_values,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(tokens, train=train)
+
+        tokens = LayerNorm(dtype=self.dtype, name="norm")(tokens)
+        cls_out = tokens[:, 0]
+        return nn.Dense(
+            self.num_classes,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal_init,
+            name="head",
+        )(cls_out)
+
+
+VIT_CFGS = {
+    # timm vit_small_patch16_224 (reference utils_architecture.py:272)
+    "s": dict(embed_dim=384, depth=12, num_heads=6),
+    # timm deit_small_patch16_224 (reference utils_architecture.py:282)
+    "deit_s": dict(embed_dim=384, depth=12, num_heads=6),
+    # timm deit3_medium_patch16_224 (reference utils_architecture.py:288)
+    "m": dict(embed_dim=512, depth=12, num_heads=8, init_values=1e-6, no_embed_class=True),
+    # timm vit_base_patch16_224 (reference utils_architecture.py:298)
+    "b": dict(embed_dim=768, depth=12, num_heads=12),
+}

@@ -1,0 +1,192 @@
+"""The fused adversarial train step — one jit, nothing leaves the chip.
+
+Replaces the reference's WrappedModel + train_loop composition
+(main.py:260-301, 944-1026): per step it runs
+  mixup/cutmix (on-device) -> APGD/FGSM attack scan (model in eval mode)
+  -> training forward (stochastic) -> loss -> weight grads -> optax update
+  -> EMA update
+inside a single compiled program. Under a NamedSharding'd batch and
+replicated/FSDP params, XLA inserts the gradient all-reduce over ICI —
+the DDP capability with no process groups (SURVEY.md §2.3).
+
+Key semantics preserved from the reference:
+  * model is deterministic (eval-mode) during attack generation and
+    stochastic (droppath/BN-updating) for the training forward
+    (main.py:279,289)
+  * training consumes the attack's best-loss point x_best (main.py:291-293)
+  * the adversarial example is detached — no gradient flows through the
+    attack into the weights
+  * loss: SoftTargetCE when mixup is active, plain CE otherwise
+    (main.py:461-466)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..attacks import apgd_attack, fgsm_train
+from ..data.mixup import MixupConfig, mixup_cutmix
+from ..ops.losses import ce_indiv, soft_target_ce
+from .ema import ema_update
+from .state import TrainState
+
+
+@dataclasses.dataclass(frozen=True)
+class AdvConfig:
+    """Mirror of the reference 'adv' config section (main.py:180-189)."""
+
+    attack: str = "none"  # 'none' | 'fgsm' | 'apgd'
+    norm: str = "Linf"
+    eps: float = 4.0 / 255.0
+    n_iter: int = 2
+    alpha: float = 1.25  # fgsm step multiplier
+    noise_level: float = 1.0
+    skip_projection: bool = False
+    loss: str = "ce"
+
+
+def make_train_step(
+    model,
+    tx,
+    *,
+    adv: AdvConfig,
+    mixup: MixupConfig | None,
+    ema_decay: float = 0.0,
+    seed: int = 0,
+    has_batch_stats: bool = False,
+    donate: bool = True,
+) -> Callable[[TrainState, jax.Array, jax.Array], tuple[TrainState, dict]]:
+    """Build the jitted train step: (state, images NHWC [0,1], int labels) ->
+    (state, metrics)."""
+
+    root_key = jax.random.PRNGKey(seed)
+
+    def step_fn(state: TrainState, images: jax.Array, labels: jax.Array):
+        rng = jax.random.fold_in(root_key, state.step)
+        k_mix, k_attack, k_drop = jax.random.split(rng, 3)
+
+        images = images.astype(jnp.float32)
+        if mixup is not None:
+            images, targets = mixup_cutmix(k_mix, images, labels, mixup)
+        else:
+            targets = labels
+
+        # --- adversarial example generation: eval-mode, frozen stats ---
+        eval_vars = state.variables()
+
+        def eval_logits(xa):
+            return model.apply(eval_vars, xa, train=False)
+
+        adv_acc = jnp.asarray(1.0)
+        if adv.attack == "apgd":
+            res = apgd_attack(
+                eval_logits,
+                images,
+                targets,
+                norm=adv.norm,
+                eps=adv.eps,
+                n_iter=adv.n_iter,
+                loss=adv.loss,
+                is_train=True,
+            )
+            x_use = jax.lax.stop_gradient(res.x_best)
+            adv_acc = jnp.mean(res.acc.astype(jnp.float32))
+        elif adv.attack == "fgsm":
+            x_use = jax.lax.stop_gradient(
+                fgsm_train(
+                    eval_logits,
+                    images,
+                    targets,
+                    eps=adv.eps,
+                    rng=k_attack,
+                    loss=adv.loss,
+                    alpha=adv.alpha,
+                    use_rs=True,
+                    noise_level=adv.noise_level,
+                    skip_projection=adv.skip_projection,
+                )
+            )
+        elif adv.attack == "none":
+            x_use = images
+        else:
+            raise ValueError(f"unknown attack {adv.attack!r}")
+
+        # --- training forward/backward on the adversarial points ---
+        def loss_fn(params):
+            variables = {"params": params}
+            if has_batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                logits, mutated = model.apply(
+                    variables,
+                    x_use,
+                    train=True,
+                    rngs={"dropout": k_drop},
+                    mutable=["batch_stats"],
+                )
+                new_stats = mutated["batch_stats"]
+            else:
+                logits = model.apply(variables, x_use, train=True, rngs={"dropout": k_drop})
+                new_stats = None
+            if mixup is not None:
+                loss = soft_target_ce(logits, targets)
+            else:
+                loss = jnp.mean(ce_indiv(logits, targets))
+            return loss, (logits, new_stats)
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        new_ema = state.ema_params
+        new_ema_stats = state.ema_batch_stats
+        if ema_decay > 0.0 and state.ema_params is not None:
+            new_ema = ema_update(state.ema_params, new_params, ema_decay)
+            if has_batch_stats and state.ema_batch_stats is not None:
+                new_ema_stats = ema_update(state.ema_batch_stats, new_stats, ema_decay)
+
+        hard = labels  # accuracy vs the original labels, pre-mixup
+        train_acc = jnp.mean((jnp.argmax(logits, -1) == hard).astype(jnp.float32))
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            ema_params=new_ema,
+            batch_stats=new_stats if has_batch_stats else state.batch_stats,
+            ema_batch_stats=new_ema_stats,
+        )
+        metrics = {
+            "loss": loss,
+            "train_acc": train_acc,
+            "adv_acc": adv_acc,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, *, lr_tta: bool = False, use_ema: bool = False):
+    """Clean-accuracy eval step (reference single_val, main.py:897-939)."""
+
+    def eval_fn(state: TrainState, images: jax.Array, labels: jax.Array):
+        variables = state.ema_variables() if use_ema else state.variables()
+        logits = model.apply(variables, images.astype(jnp.float32), train=False)
+        if lr_tta:
+            logits = logits + model.apply(variables, images[:, :, ::-1, :], train=False)
+        top1 = jnp.argmax(logits, -1) == labels
+        top5 = jnp.any(
+            jax.lax.top_k(logits, 5)[1] == labels[:, None], axis=-1
+        )
+        return jnp.sum(top1.astype(jnp.int32)), jnp.sum(top5.astype(jnp.int32))
+
+    return jax.jit(eval_fn)

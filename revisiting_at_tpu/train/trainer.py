@@ -1,0 +1,259 @@
+"""Trainer: epochs loop, validation, checkpointing, metric logging.
+
+The ImageNetTrainer capability (reference main.py:328-1152) rebuilt around
+the fused jitted train step:
+  * initial clean validation before training (main.py:703)
+  * per-epoch train loop; LR interpolation lives INSIDE the jitted step
+    (train/schedule.py), not in host code
+  * NaN-loss kills the run (main.py:729-730)
+  * per-epoch checkpoints + every-5-epoch full state; TRUE resume of
+    params/opt_state/EMA/step (fixes the reference gap, SURVEY.md §5)
+  * JSONL metrics with relative timestamps; params.json config artifact
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from pathlib import Path
+from typing import Any, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ckpt.checkpoint import CheckpointManager
+from ..config import Config
+from ..data.augment import RandAugmentConfig, augment_batch
+from ..data.mixup import MixupConfig
+from ..data.synthetic import SyntheticData
+from ..models import get_model
+from ..parallel import MeshConfig, batch_sharding, make_mesh, param_shardings, replicated
+from ..utils.flops import param_count
+from ..utils.logging import RunLogger, make_run_name
+from .ema import ema_init
+from .optimizer import make_optimizer
+from .schedule import LRConfig, make_lr_schedule
+from .state import TrainState
+from .train_step import AdvConfig, make_eval_step, make_train_step
+
+
+class Trainer:
+    def __init__(self, cfg: Config, train_data=None, val_data=None):
+        self.cfg = cfg
+        t = cfg.training
+
+        self.mesh = make_mesh(MeshConfig(fsdp=cfg.dist.fsdp))
+        self.batch_sharding = batch_sharding(self.mesh)
+
+        dtype = jnp.bfloat16 if t.precision == "bf16" else jnp.float32
+        self.model, self.meta = get_model(
+            cfg.model.arch,
+            not_original=bool(cfg.model.not_original),
+            updated=bool(cfg.model.updated),
+            num_classes=cfg.data.num_classes,
+            dtype=dtype,
+            drop_path_rate=cfg.model.drop_path_rate,
+            use_blurpool=bool(t.use_blurpool),
+            add_normalization=bool(cfg.model.add_normalization),
+        )
+
+        res = cfg.resolution.max_res
+        self.res = res
+        rng = jax.random.PRNGKey(t.seed)
+        variables = jax.jit(
+            lambda r: self.model.init(r, jnp.zeros((1, res, res, 3)), train=False)
+        )(rng)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats")
+
+        # data
+        self.train_data = train_data
+        self.val_data = val_data
+        if self.train_data is None:
+            self.train_data = SyntheticData(
+                t.batch_size, res, cfg.data.num_classes, seed=cfg.data.seed
+            )
+        if self.val_data is None:
+            self.val_data = SyntheticData(
+                cfg.validation.batch_size, cfg.validation.resolution,
+                cfg.data.num_classes, seed=cfg.data.seed + 1, n_batches=8,
+            )
+        self.iters_per_epoch = len(self.train_data)
+
+        # optimizer with in-step LR schedule
+        lr_cfg = LRConfig(
+            lr=cfg.lr.lr,
+            schedule_type=cfg.lr.lr_schedule_type,
+            lr_peak_epoch=cfg.lr.lr_peak_epoch,
+            step_ratio=cfg.lr.step_ratio,
+            step_length=cfg.lr.step_length,
+            epochs=t.epochs,
+        )
+        self.lr_schedule = make_lr_schedule(lr_cfg, self.iters_per_epoch)
+        self.tx = make_optimizer(
+            optimizer=t.optimizer,
+            weight_decay=t.weight_decay,
+            momentum=t.momentum,
+            family=self.meta.family,
+            learning_rate=self.lr_schedule,
+            params=params,
+        )
+        opt_state = self.tx.init(params)
+
+        use_ema = cfg.model.model_ema > 0
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=opt_state,
+            ema_params=ema_init(params) if use_ema else None,
+            batch_stats=batch_stats,
+            ema_batch_stats=ema_init(batch_stats) if (use_ema and batch_stats) else None,
+        )
+        # place: params/opt/ema FSDP-or-replicated, batch sharded at call sites
+        shardings = TrainState(
+            step=replicated(self.mesh),
+            params=param_shardings(self.mesh, params),
+            opt_state=jax.tree.map(
+                lambda _: replicated(self.mesh), opt_state,
+                is_leaf=lambda x: hasattr(x, "shape"),
+            ),
+            ema_params=param_shardings(self.mesh, params) if use_ema else None,
+            batch_stats=jax.tree.map(lambda _: replicated(self.mesh), batch_stats)
+            if batch_stats is not None
+            else None,
+            ema_batch_stats=jax.tree.map(lambda _: replicated(self.mesh), batch_stats)
+            if (use_ema and batch_stats is not None)
+            else None,
+        )
+        self.state = jax.device_put(state, shardings)
+
+        mixup = None
+        if cfg.data.augmentations:
+            mixup = MixupConfig(
+                label_smoothing=t.label_smoothing, num_classes=cfg.data.num_classes
+            )
+        self.mixup = mixup
+        self.use_randaug = bool(cfg.data.augmentations)
+
+        adv = AdvConfig(
+            attack=cfg.adv.attack,
+            norm=cfg.adv.norm,
+            eps=cfg.adv.eps,
+            n_iter=cfg.adv.n_iter,
+            alpha=cfg.adv.alpha if cfg.adv.attack == "fgsm" else 1.25,
+            noise_level=cfg.adv.noise_level,
+            skip_projection=bool(cfg.adv.skip_projection),
+        )
+        self.train_step = make_train_step(
+            self.model,
+            self.tx,
+            adv=adv,
+            mixup=mixup,
+            ema_decay=0.9999 if use_ema else 0.0,
+            seed=t.seed,
+            has_batch_stats=self.meta.has_batch_stats,
+        )
+        self.eval_step = make_eval_step(self.model, lr_tta=bool(cfg.validation.lr_tta))
+
+        # logging & checkpoints; model.ckpt_path pointing at an existing run
+        # dir means "resume that run in place" (true resume, SURVEY.md §5 gap)
+        if cfg.model.ckpt_path:
+            run_path = Path(cfg.model.ckpt_path)
+            self.logger = RunLogger(str(run_path.parent), run_path.name)
+        else:
+            run_name = make_run_name(
+                cfg.model.arch, cfg.adv.attack, cfg.model.not_original,
+                cfg.model.updated, cfg.logging.addendum,
+            )
+            self.logger = RunLogger(cfg.logging.folder, run_name)
+        cfg.dump_params_json(self.logger.dir / "params.json")
+        self.ckpt = CheckpointManager(self.logger.dir, save_freq=cfg.logging.save_freq)
+        self.start_epoch = 0
+
+        self.logger.log(
+            {
+                "event": "init",
+                "arch": cfg.model.arch,
+                "params": param_count(params),
+                "devices": len(jax.devices()),
+                "mesh": dict(self.mesh.shape),
+                "iters_per_epoch": self.iters_per_epoch,
+            }
+        )
+
+    # ------------------------------------------------------------- resume
+    def try_resume(self) -> bool:
+        restored = self.ckpt.restore_latest(self.state)
+        if restored is None:
+            return False
+        self.state, epoch = restored
+        self.start_epoch = epoch + 1
+        self.logger.log({"event": "resume", "epoch": epoch})
+        return True
+
+    # ---------------------------------------------------------- validation
+    def single_val(self) -> tuple[float, int]:
+        """Clean accuracy on <=max_batches val batches (main.py:897-939)."""
+        correct = 0
+        total = 0
+        for i, (images, labels) in enumerate(self.val_data):
+            images = jax.device_put(jnp.asarray(images), self.batch_sharding)
+            labels = jax.device_put(jnp.asarray(labels), self.batch_sharding)
+            top1, _ = self.eval_step(self.state, images, labels)
+            correct += int(top1)
+            total += labels.shape[0]
+            if i >= self.cfg.validation.max_batches:
+                break
+        acc = correct / max(total, 1)
+        return acc, total
+
+    # ------------------------------------------------------------ training
+    def train_loop(self, epoch: int) -> float:
+        losses = []
+        aug_rng = jax.random.PRNGKey(self.cfg.data.seed * 100003 + epoch)
+        for ix, (images, labels) in enumerate(self.train_data):
+            images = jnp.asarray(images)
+            labels = jnp.asarray(labels)
+            if self.use_randaug:
+                images = augment_batch(
+                    jax.random.fold_in(aug_rng, ix), images, RandAugmentConfig()
+                )
+            images = jax.device_put(images, self.batch_sharding)
+            labels = jax.device_put(labels, self.batch_sharding)
+            self.state, metrics = self.train_step(self.state, images, labels)
+            losses.append(metrics["loss"])
+        mean_loss = float(jnp.mean(jnp.stack(losses)))
+        return mean_loss
+
+    def train(self) -> None:
+        cfg = self.cfg
+        acc, n = self.single_val()
+        self.logger.log({"Validation acc": acc, "points": n})
+
+        for epoch in range(self.start_epoch, cfg.training.epochs):
+            t0 = time.time()
+            train_loss = self.train_loop(epoch)
+            epoch_time = time.time() - t0
+
+            if math.isnan(train_loss):
+                self.logger.log({"event": "nan_loss", "epoch": epoch})
+                sys.exit(1)
+
+            lr_now = float(self.lr_schedule(int(self.state.step)))
+            self.logger.log(
+                {
+                    "epoch": epoch,
+                    "train_loss": train_loss,
+                    "current_lr": lr_now,
+                    "epoch_time": epoch_time,
+                    "steps_per_sec": self.iters_per_epoch / max(epoch_time, 1e-9),
+                }
+            )
+            last = epoch == cfg.training.epochs - 1
+            self.ckpt.maybe_save(epoch, self.state, last=last)
+
+        acc, n = self.single_val()
+        self.logger.log({"event": "final_val", "Validation acc": acc, "points": n})
+        self.ckpt.wait()

@@ -1,0 +1,199 @@
+"""End-to-end training tests on the virtual 8-device CPU mesh.
+
+Covers BASELINE.json configs in miniature: clean training, FGSM AT, and
+2-step APGD AT of a (tiny) ConvNeXt with ConvStem — the full fused step
+(mixup -> attack -> fwd/bwd -> optax -> EMA) under batch sharding.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from revisiting_at_tpu.config import Config
+from revisiting_at_tpu.data.synthetic import SyntheticData
+from revisiting_at_tpu.train.trainer import Trainer
+
+
+def tiny_cfg(tmp_path, attack="none", augment=0, arch="convnext_micro", ema=0.0):
+    cfg = Config()
+    cfg.model.arch = arch
+    cfg.model.not_original = 1
+    cfg.model.add_normalization = 0
+    cfg.model.model_ema = ema
+    cfg.data.num_classes = 13
+    cfg.data.augmentations = augment
+    cfg.training.batch_size = 16
+    cfg.training.epochs = 1
+    cfg.training.precision = "fp32"
+    cfg.resolution.min_res = cfg.resolution.max_res = 32
+    cfg.validation.batch_size = 16
+    cfg.validation.resolution = 32
+    cfg.adv.attack = attack
+    cfg.adv.n_iter = 2
+    cfg.adv.eps = 8.0 / 255.0
+    cfg.logging.folder = str(tmp_path)
+    return cfg
+
+
+def tiny_data(cfg, n_batches=3):
+    train = SyntheticData(cfg.training.batch_size, cfg.resolution.max_res,
+                          cfg.data.num_classes, n_batches=n_batches)
+    val = SyntheticData(cfg.validation.batch_size, cfg.validation.resolution,
+                        cfg.data.num_classes, seed=1, n_batches=2)
+    return train, val
+
+
+class TestTrainer:
+    def test_clean_training_step_runs(self, tmp_path):
+        cfg = tiny_cfg(tmp_path, attack="none")
+        train, val = tiny_data(cfg)
+        tr = Trainer(cfg, train_data=train, val_data=val)
+        loss = tr.train_loop(0)
+        assert np.isfinite(loss)
+        assert int(tr.state.step) == 3
+
+    def test_apgd_training_changes_params_and_stays_finite(self, tmp_path):
+        cfg = tiny_cfg(tmp_path, attack="apgd", ema=1.0)
+        train, val = tiny_data(cfg)
+        tr = Trainer(cfg, train_data=train, val_data=val)
+        p0 = jax.tree.map(lambda x: np.asarray(x).copy(), tr.state.params)
+        loss = tr.train_loop(0)
+        assert np.isfinite(loss)
+        diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), p0, tr.state.params)
+        assert max(jax.tree.leaves(diffs)) > 0
+        # EMA moved toward params but stayed distinct
+        ema_leaf = jax.tree.leaves(tr.state.ema_params)[0]
+        p_leaf = jax.tree.leaves(tr.state.params)[0]
+        assert not np.allclose(np.asarray(ema_leaf), np.asarray(p_leaf))
+
+    def test_fgsm_training_vit(self, tmp_path):
+        cfg = tiny_cfg(tmp_path, attack="fgsm", arch="vit_micro")
+        cfg.adv.alpha = 1.25
+        train, val = tiny_data(cfg, n_batches=2)
+        tr = Trainer(cfg, train_data=train, val_data=val)
+        loss = tr.train_loop(0)
+        assert np.isfinite(loss)
+
+    def test_full_recipe_mixup_augment(self, tmp_path):
+        cfg = tiny_cfg(tmp_path, attack="apgd", augment=1)
+        train, val = tiny_data(cfg, n_batches=2)
+        tr = Trainer(cfg, train_data=train, val_data=val)
+        loss = tr.train_loop(0)
+        assert np.isfinite(loss)
+
+    def test_single_val_and_sharding(self, tmp_path):
+        cfg = tiny_cfg(tmp_path)
+        train, val = tiny_data(cfg)
+        tr = Trainer(cfg, train_data=train, val_data=val)
+        assert len(jax.devices()) == 8
+        assert tr.mesh.shape["data"] == 8
+        acc, n = tr.single_val()
+        assert 0.0 <= acc <= 1.0 and n == 32
+
+    def test_checkpoint_resume_roundtrip(self, tmp_path):
+        cfg = tiny_cfg(tmp_path)
+        train, val = tiny_data(cfg, n_batches=2)
+        tr = Trainer(cfg, train_data=train, val_data=val)
+        tr.train_loop(0)
+        tr.ckpt.maybe_save(0, tr.state)
+        tr.ckpt.wait()
+        step_before = int(tr.state.step)
+        p_before = np.asarray(jax.tree.leaves(tr.state.params)[0])
+
+        cfg.model.ckpt_path = str(tr.logger.dir)  # resume the same run dir
+        tr2 = Trainer(cfg, train_data=train, val_data=val)
+        assert tr2.try_resume()
+        assert int(tr2.state.step) == step_before
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(tr2.state.params)[0]), p_before
+        )
+        # opt_state restored too (true resume — the reference never did this)
+        flat_a = jax.tree.leaves(tr.state.opt_state)
+        flat_b = jax.tree.leaves(tr2.state.opt_state)
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+class TestSchedule:
+    def test_cosine_interp_matches_reference_shape(self):
+        from revisiting_at_tpu.train.schedule import LRConfig, epoch_lr, make_lr_schedule
+
+        cfg = LRConfig(lr=1e-3, schedule_type="cosine", lr_peak_epoch=20, epochs=300)
+        # epoch-level values (reference main.py:230-243)
+        assert float(epoch_lr(cfg, 0)) == pytest.approx(1e-7, rel=1e-3)
+        assert float(epoch_lr(cfg, 20)) == pytest.approx(1e-3, rel=1e-4)
+        assert float(epoch_lr(cfg, 300)) == pytest.approx(5e-6, rel=1e-2)
+        # per-iteration interpolation (main.py:956-958)
+        sched = make_lr_schedule(cfg, iters_per_epoch=10)
+        mid = float(sched(5))  # halfway through epoch 0
+        lo, hi = float(epoch_lr(cfg, 0)), float(epoch_lr(cfg, 1))
+        assert lo < mid < hi
+
+    def test_step_and_cyclic(self):
+        from revisiting_at_tpu.train.schedule import LRConfig, epoch_lr
+
+        s = LRConfig(lr=1.0, schedule_type="step", step_ratio=0.1, step_length=30, epochs=90)
+        assert float(epoch_lr(s, 0)) == 1.0
+        assert float(epoch_lr(s, 30)) == pytest.approx(0.1)
+        assert float(epoch_lr(s, 60)) == pytest.approx(0.01)
+        c = LRConfig(lr=1.0, schedule_type="cyclic", lr_peak_epoch=10, epochs=100)
+        assert float(epoch_lr(c, 10)) == pytest.approx(1.0)
+        assert float(epoch_lr(c, 100)) == pytest.approx(0.0, abs=1e-6)
+
+
+class TestWdMask:
+    def test_convnext_rule_decays_norm_scales_not_biases(self):
+        from revisiting_at_tpu.models import get_model
+        from revisiting_at_tpu.train.optimizer import wd_mask
+
+        model, meta = get_model("convnext_tiny", dtype=jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)[
+            "params"
+        ]
+        mask = wd_mask(params, meta.family)
+        import flax
+
+        flat = flax.traverse_util.flatten_dict(mask)
+        for path, decayed in flat.items():
+            if path[-1] == "bias":
+                assert not decayed, path
+            else:
+                assert decayed, path  # incl. LN scale and gamma (reference quirk)
+
+    def test_vit_rule_ndim(self):
+        from revisiting_at_tpu.models import get_model
+        from revisiting_at_tpu.train.optimizer import wd_mask
+
+        model, meta = get_model("vit_s", dtype=jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)[
+            "params"
+        ]
+        mask = wd_mask(params, meta.family)
+        import flax
+
+        flat_p = flax.traverse_util.flatten_dict(params)
+        flat_m = flax.traverse_util.flatten_dict(mask)
+        for path, decayed in flat_m.items():
+            assert decayed == (flat_p[path].ndim > 1), path
+
+
+class TestMixup:
+    def test_targets_sum_to_one_and_images_in_range(self):
+        from revisiting_at_tpu.data.mixup import MixupConfig, mixup_cutmix
+
+        rng = jax.random.PRNGKey(0)
+        images = jax.random.uniform(rng, (8, 16, 16, 3))
+        labels = jnp.arange(8) % 5
+        cfg = MixupConfig(num_classes=5, label_smoothing=0.1)
+        for i in range(5):
+            mixed, targets = mixup_cutmix(jax.random.fold_in(rng, i), images, labels, cfg)
+            np.testing.assert_allclose(np.asarray(targets.sum(-1)), 1.0, rtol=1e-5)
+            assert float(mixed.min()) >= 0 and float(mixed.max()) <= 1
+
+
+if __name__ == "__main__":
+    sys.exit(pytest.main([__file__, "-x", "-q"]))
