@@ -40,7 +40,11 @@ def main() -> None:
     from revisiting_at_tpu.train.state import TrainState
     from revisiting_at_tpu.train.train_step import AdvConfig, make_train_step
 
-    model, meta = get_model("convnext_tiny", not_original=True, dtype=jnp.bfloat16)
+    # use_pallas: fused block-tail kernel (ops/block_mlp.py) — measured 163.5
+    # vs 202 ms/step on v5e vs the plain XLA path
+    model, meta = get_model(
+        "convnext_tiny", not_original=True, dtype=jnp.bfloat16, use_pallas=True
+    )
     params = jax.jit(
         lambda r: model.init(r, jnp.zeros((1, RES, RES, 3)), train=False)
     )(jax.random.PRNGKey(0))["params"]

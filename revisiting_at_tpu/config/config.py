@@ -88,6 +88,10 @@ class TrainingSection:
     use_blurpool: int = 0
     precision: str = "bf16"  # 'bf16' | 'fp32' (replaces fp16+GradScaler)
     seed: int = 0
+    # fused Pallas block-tail kernel (single-chip/DP-per-host; measured 1.23x
+    # on v5e). Multi-chip sharding of the custom call lands with shard_map.
+    use_pallas: int = 0
+    remat: int = 0  # activation checkpointing (memory lever for L@320)
 
 
 @dataclasses.dataclass

@@ -1,29 +1,215 @@
 """FAB-T (Fast Adaptive Boundary, targeted) — minimum-norm boundary attack.
 
 Third attack of standard AutoAttack (9 target classes, n_iter=100,
-alpha_max=0.1, eta=1.05, beta=0.9). The reference gets this from the
-autoattack library (AA_eval.py:226-239).
+alpha_max=0.1, eta=1.05, beta=0.9; Croce & Hein, ICML 2020). The reference
+gets this from the autoattack library (AA_eval.py:226-239); this is a
+from-scratch TPU implementation.
 
-Status: kernel under construction — `fab_attack_targeted` currently raises
-NotImplementedError; the AutoAttack driver's 'fab-t' stage is only reached
-when explicitly requested. The projection-onto-{box ∩ hyperplane} solver
-(the core of FAB) lands with the full implementation.
+Algorithm per iteration (targeted at class c):
+  1. linearize the decision boundary f_c(z) - f_y(z) = 0 at the current
+     iterate: hyperplane w·z = b with w = ∇(f_c - f_y), b = w·x1 - (f_c - f_y)
+  2. project both the iterate x1 and the original point x onto
+     {z ∈ [0,1]^d : w·z = b} under the attack norm
+  3. take the extrapolated (η) convex combination with adaptive α (≤ α_max)
+  4. if misclassified: record best (minimum-norm) adversarial point, then
+     bias back toward x with factor β (backward step)
+Success = best distortion ≤ ε.
+
+TPU-first: the box∩hyperplane projections are solved by a fixed-iteration
+vectorized bisection (Linf: on the radius; L2: on the Lagrange multiplier)
+instead of the original's per-row sort + index juggling — the same exact
+projection, expressed as ~40 fused O(d) reductions that jit cleanly and
+batch over the mesh. Everything is one `lax.scan` over iterations.
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
+
+from ..ops.norms import l1_norm, l2_norm
 
 Array = jax.Array
+
+
+def _flat(x):
+    return x.reshape(x.shape[0], -1)
+
+
+def _proj_hyperplane_box_linf(t: Array, w: Array, b: Array, n_bisect: int = 30) -> Array:
+    """delta minimizing ||delta||_inf s.t. t+delta ∈ [0,1]^d, w·(t+delta) <= b.
+
+    g(r) = min_{|z-t|_inf<=r, z∈box} w·z is continuous and non-increasing in r;
+    bisect on r for g(r) = b. If already feasible returns 0; if the hyperplane
+    is unreachable inside the box, returns the saturating delta.
+    """
+    violation = jnp.sum(w * t, axis=1) - b  # > 0 means infeasible
+    sgn = jnp.sign(w)
+
+    def z_at(r):
+        return jnp.clip(t - r[:, None] * sgn, 0.0, 1.0)
+
+    def g(r):
+        return jnp.sum(w * z_at(r), axis=1)
+
+    lo = jnp.zeros_like(b)
+    hi = jnp.ones_like(b)  # box diameter bounds any useful radius
+
+    def body(carry, _):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        too_high = g(mid) > b  # need larger radius
+        lo = jnp.where(too_high, mid, lo)
+        hi = jnp.where(too_high, hi, mid)
+        return (lo, hi), None
+
+    (lo, hi), _ = jax.lax.scan(body, (lo, hi), None, length=n_bisect)
+    r = hi
+    delta = z_at(r) - t
+    return jnp.where(violation[:, None] > 0, delta, jnp.zeros_like(delta))
+
+
+def _proj_hyperplane_box_l2(t: Array, w: Array, b: Array, n_bisect: int = 40) -> Array:
+    """delta minimizing ||delta||_2 s.t. t+delta ∈ [0,1]^d, w·(t+delta) <= b.
+
+    KKT: z(λ) = clip(t - λ w, 0, 1); w·z(λ) is non-increasing in λ; bisect.
+    """
+    violation = jnp.sum(w * t, axis=1) - b
+
+    def z_at(lam):
+        return jnp.clip(t - lam[:, None] * w, 0.0, 1.0)
+
+    def g(lam):
+        return jnp.sum(w * z_at(lam), axis=1)
+
+    # λ upper bound: at λ_hi every coordinate with |w_i| >= wmax/2^k saturates;
+    # use λ_hi = (1 + max|t|) / max(|w|) scaled — grow once by fixed doubling.
+    wmax = jnp.max(jnp.abs(w), axis=1) + 1e-12
+    lam_hi = 2.0 / wmax
+
+    def grow(carry, _):
+        lam_hi = carry
+        lam_hi = jnp.where(g(lam_hi) > b, lam_hi * 4.0, lam_hi)
+        return lam_hi, None
+
+    lam_hi, _ = jax.lax.scan(grow, lam_hi, None, length=8)
+
+    lo = jnp.zeros_like(b)
+    hi = lam_hi
+
+    def body(carry, _):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        too_high = g(mid) > b
+        lo = jnp.where(too_high, mid, lo)
+        hi = jnp.where(too_high, hi, mid)
+        return (lo, hi), None
+
+    (lo, hi), _ = jax.lax.scan(body, (lo, hi), None, length=n_bisect)
+    delta = z_at(hi) - t
+    return jnp.where(violation[:, None] > 0, delta, jnp.zeros_like(delta))
+
+
+def _project(t, w, b, norm):
+    if norm == "Linf":
+        return _proj_hyperplane_box_linf(t, w, b)
+    if norm == "L2":
+        return _proj_hyperplane_box_l2(t, w, b)
+    raise NotImplementedError(f"FAB projection for {norm} not implemented yet")
+
+
+def _dist(a: Array, b: Array, norm: str) -> Array:
+    d = a - b
+    if norm == "Linf":
+        return jnp.max(jnp.abs(_flat(d)), axis=1)
+    if norm == "L2":
+        return l2_norm(d)
+    return l1_norm(d)
+
+
+def fab_attack_single_target(
+    logits_fn: Callable[[Array], Array],
+    x: Array,
+    y: Array,
+    y_target: Array,
+    *,
+    norm: str = "Linf",
+    eps: float = 4.0 / 255.0,
+    n_iter: int = 100,
+    alpha_max: float = 0.1,
+    eta: float = 1.05,
+    beta: float = 0.9,
+) -> tuple[Array, Array]:
+    """One targeted FAB run. Returns (x_best, best_distortion)."""
+    bs = x.shape[0]
+    x = x.astype(jnp.float32)
+    xf = _flat(x)
+    u = jnp.arange(bs)
+
+    def diff_and_grad(x1):
+        def f(z):
+            logits = logits_fn(z)
+            df = (
+                jnp.take_along_axis(logits, y_target[:, None], axis=1)[:, 0]
+                - jnp.take_along_axis(logits, y[:, None], axis=1)[:, 0]
+            ).astype(jnp.float32)
+            return jnp.sum(df), df
+
+        (_, df), dg = jax.value_and_grad(f, has_aux=True)(x1)
+        return df, dg
+
+    def body(carry, _):
+        x1, x_best, res_best = carry
+        df, dg = diff_and_grad(x1)
+        w = _flat(dg)
+        x1f = _flat(x1)
+        # boundary hyperplane w·z = b (adversarial side: w·z >= b, i.e. df>=0);
+        # express as minimize-side w'·z <= b' with w' = -w
+        b_hp = jnp.sum(w * x1f, axis=1) - df
+
+        d1 = _project(x1f, -w, -b_hp, norm)  # from current iterate
+        d2 = _project(xf, -w, -b_hp, norm)  # from original point
+
+        if norm == "Linf":
+            a1 = jnp.max(jnp.abs(d1), axis=1)
+            a2 = jnp.max(jnp.abs(d2), axis=1)
+        else:
+            a1 = jnp.sqrt(jnp.sum(d1 * d1, axis=1))
+            a2 = jnp.sqrt(jnp.sum(d2 * d2, axis=1))
+        a1 = jnp.maximum(a1, 1e-8)
+        a2 = jnp.maximum(a2, 1e-8)
+        alpha = jnp.clip(a1 / (a1 + a2), 0.0, alpha_max)[:, None]
+
+        x1f_new = (x1f + eta * d1) * (1.0 - alpha) + (xf + eta * d2) * alpha
+        x1_new = jnp.clip(x1f_new.reshape(x.shape), 0.0, 1.0)
+
+        pred = jnp.argmax(logits_fn(x1_new), axis=-1)
+        is_adv = pred != y
+        t_dist = _dist(x1_new, x, norm)
+        improved = jnp.logical_and(is_adv, t_dist < res_best)
+        imp = improved.astype(jnp.float32).reshape((-1,) + (1,) * (x.ndim - 1))
+        x_best = x1_new * imp + x_best * (1.0 - imp)
+        res_best = jnp.where(improved, t_dist, res_best)
+
+        # backward step toward x for adversarial points
+        back = is_adv.astype(jnp.float32).reshape((-1,) + (1,) * (x.ndim - 1))
+        x1_back = x + (x1_new - x) * beta
+        x1_next = x1_back * back + x1_new * (1.0 - back)
+        return (x1_next, x_best, res_best), None
+
+    init = (x, x, jnp.full((bs,), 1e10, jnp.float32))
+    (x1, x_best, res_best), _ = jax.lax.scan(body, init, None, length=n_iter)
+    return x_best, res_best
 
 
 def fab_attack_targeted(
     logits_fn: Callable[[Array], Array],
     x: Array,
     y: Array,
-    y_targets: Array,
+    y_targets: Array,  # [B, n_target_classes]
     *,
     norm: str = "Linf",
     eps: float = 4.0 / 255.0,
@@ -33,7 +219,32 @@ def fab_attack_targeted(
     beta: float = 0.9,
     rng: Array | None = None,
 ) -> tuple[Array, Array]:
-    raise NotImplementedError(
-        "FAB-T kernel is under construction; run AutoAttack with "
-        "attacks_to_run=('apgd-ce','apgd-t','square') meanwhile."
+    """FAB-T over all target classes. Returns (x_adv, success mask): success
+    means a misclassified point within the ε-ball was found."""
+    bs = x.shape[0]
+    x = x.astype(jnp.float32)
+    best_x = x
+    best_res = jnp.full((bs,), 1e10, jnp.float32)
+    n_targets = y_targets.shape[1]
+
+    def per_target(carry, ti):
+        best_x, best_res = carry
+        yt = jax.lax.dynamic_index_in_dim(y_targets, ti, axis=1, keepdims=False)
+        xb, res = fab_attack_single_target(
+            logits_fn, x, y, yt, norm=norm, eps=eps, n_iter=n_iter,
+            alpha_max=alpha_max, eta=eta, beta=beta,
+        )
+        better = res < best_res
+        bett = better.astype(jnp.float32).reshape((-1,) + (1,) * (x.ndim - 1))
+        best_x = xb * bett + best_x * (1.0 - bett)
+        best_res = jnp.where(better, res, best_res)
+        return (best_x, best_res), None
+
+    (best_x, best_res), _ = jax.lax.scan(
+        per_target, (best_x, best_res), jnp.arange(n_targets)
     )
+    success = best_res <= eps
+    # outside the budget, return the clean point (FAB found nothing usable)
+    succ = success.astype(jnp.float32).reshape((-1,) + (1,) * (x.ndim - 1))
+    x_adv = best_x * succ + x * (1.0 - succ)
+    return x_adv, success

@@ -29,50 +29,83 @@ from .stems import PatchifyStem
 
 
 class ConvNeXtBlock(nn.Module):
+    """dwconv7x7 -> LN -> Dense(4C) -> GELU -> Dense(C) -> LayerScale
+    -> DropPath -> residual.
+
+    The block tail (everything after the dwconv) has two equivalent compute
+    paths sharing one param tree: plain jnp ops, or the fused Pallas kernel
+    (ops/block_mlp.py) that keeps the 4C-wide intermediates in VMEM —
+    enabled via `use_pallas` for C <= 384 (where the bwd accumulators fit).
+    """
+
     dim: int
     drop_path: float = 0.0
     layer_scale_init: float = 1e-6
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+    pallas_interpret: bool = False  # CPU-test mode for the kernel
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        C = self.dim
         shortcut = x
-        x = nn.Conv(
-            features=self.dim,
+        s = nn.Conv(
+            features=C,
             kernel_size=(7, 7),
             padding=[(3, 3), (3, 3)],
-            feature_group_count=self.dim,
+            feature_group_count=C,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             kernel_init=trunc_normal_init,
             name="dwconv",
         )(x)
-        x = LayerNorm(dtype=self.dtype, name="norm")(x)
-        x = nn.Dense(
-            4 * self.dim,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=trunc_normal_init,
-            name="pwconv1",
-        )(x)
-        x = nn.gelu(x, approximate=False)
-        x = nn.Dense(
-            self.dim,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=trunc_normal_init,
-            name="pwconv2",
-        )(x)
+
+        ln_g = self.param("norm_scale", nn.initializers.ones, (C,), jnp.float32)
+        ln_b = self.param("norm_bias", nn.initializers.zeros, (C,), jnp.float32)
+        w1 = self.param("pwconv1_kernel", trunc_normal_init, (C, 4 * C), jnp.float32)
+        b1 = self.param("pwconv1_bias", nn.initializers.zeros, (4 * C,), jnp.float32)
+        w2 = self.param("pwconv2_kernel", trunc_normal_init, (4 * C, C), jnp.float32)
+        b2 = self.param("pwconv2_bias", nn.initializers.zeros, (C,), jnp.float32)
         if self.layer_scale_init > 0:
             gamma = self.param(
-                "gamma",
-                nn.initializers.constant(self.layer_scale_init),
-                (self.dim,),
-                jnp.float32,
+                "gamma", nn.initializers.constant(self.layer_scale_init), (C,), jnp.float32
             )
-            x = x * gamma.astype(x.dtype)
-        x = DropPath(self.drop_path, name="drop_path")(x, deterministic=not train)
-        return shortcut + x
+        else:
+            gamma = jnp.ones((C,), jnp.float32)
+
+        # per-sample DropPath keep-scale (1/keep_p or 0); ones when inactive
+        if self.drop_path > 0.0 and train:
+            keep_p = 1.0 - self.drop_path
+            mask = jax.random.bernoulli(
+                self.make_rng("dropout"), p=keep_p, shape=(x.shape[0],)
+            )
+            keep = mask.astype(jnp.float32) / keep_p
+        else:
+            keep = jnp.ones((x.shape[0],), jnp.float32)
+
+        if self.use_pallas and C <= 384:
+            from ..ops.block_mlp import convnext_block_tail
+
+            return convnext_block_tail(
+                s, shortcut, keep, ln_g, ln_b, w1, b1, w2, b2, gamma,
+                interpret=self.pallas_interpret,
+            ).astype(self.dtype)
+
+        # reference jnp path (identical math)
+        u = _layer_norm_f32(s, ln_g, ln_b).astype(self.dtype)
+        h = u @ w1.astype(self.dtype) + b1.astype(self.dtype)
+        g = nn.gelu(h, approximate=False)
+        o = g @ w2.astype(self.dtype) + b2.astype(self.dtype)
+        o = o * gamma.astype(o.dtype)
+        o = o * keep.astype(o.dtype).reshape(-1, 1, 1, 1)
+        return shortcut + o
+
+
+def _layer_norm_f32(s: jax.Array, g: jax.Array, b: jax.Array, eps: float = 1e-6):
+    sf = s.astype(jnp.float32)
+    mu = jnp.mean(sf, axis=-1, keepdims=True)
+    var = jnp.mean((sf - mu) ** 2, axis=-1, keepdims=True)
+    return (sf - mu) * jax.lax.rsqrt(var + eps) * g + b
 
 
 class ConvNeXt(nn.Module):
@@ -91,9 +124,15 @@ class ConvNeXt(nn.Module):
     dtype: jnp.dtype = jnp.float32
     stem_factory: Callable[..., nn.Module] | None = None
     use_blurpool: bool = False
+    remat: bool = False  # checkpoint each block: trades HBM activation traffic
+    # for recompute — the right trade on TPU where the AT step is HBM-bound
+    use_pallas: bool = False  # fused Pallas block-tail kernel (C <= 384)
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        # static_argnums=(2,): (self, x, train) — train must stay a python bool
+        block_cls = nn.remat(ConvNeXtBlock, static_argnums=(2,)) if self.remat else ConvNeXtBlock
         if self.stem_factory is not None:
             x = self.stem_factory(dtype=self.dtype, use_blurpool=self.use_blurpool)(x)
         else:
@@ -119,13 +158,15 @@ class ConvNeXt(nn.Module):
                     name=f"downsample_conv{si}",
                 )(x)
             for bi in range(depth):
-                x = ConvNeXtBlock(
+                x = block_cls(
                     dim,
                     drop_path=dp_rates[cur],
                     layer_scale_init=self.layer_scale_init,
                     dtype=self.dtype,
+                    use_pallas=self.use_pallas,
+                    pallas_interpret=self.pallas_interpret,
                     name=f"stage{si}_block{bi}",
-                )(x, train=train)
+                )(x, train)
                 cur += 1
 
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
@@ -152,6 +193,9 @@ class ConvNeXtIsotropic(nn.Module):
     dtype: jnp.dtype = jnp.float32
     stem_factory: Callable[..., nn.Module] | None = None
     use_blurpool: bool = False
+    remat: bool = False
+    use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -169,14 +213,17 @@ class ConvNeXtIsotropic(nn.Module):
         dp_rates = [
             self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)
         ]
+        block_cls = nn.remat(ConvNeXtBlock, static_argnums=(2,)) if self.remat else ConvNeXtBlock
         for bi in range(self.depth):
-            x = ConvNeXtBlock(
+            x = block_cls(
                 self.dim,
                 drop_path=dp_rates[bi],
                 layer_scale_init=self.layer_scale_init,
                 dtype=self.dtype,
+                use_pallas=self.use_pallas,
+                pallas_interpret=self.pallas_interpret,
                 name=f"block{bi}",
-            )(x, train=train)
+            )(x, train)
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
         x = LayerNorm(dtype=self.dtype, name="head_norm")(x.astype(self.dtype))
         return nn.Dense(

@@ -55,6 +55,9 @@ def get_model(
     drop_path_rate: float = 0.0,
     use_blurpool: bool = False,
     add_normalization: bool = False,
+    remat: bool = False,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> tuple[nn.Module, ModelMeta]:
     """Build a model by reference name. Returns (module, meta).
 
@@ -77,7 +80,7 @@ def get_model(
                 stem = partial(ConvStem3, siz=96)
         model = ConvNeXt(
             depths=cfg["depths"], dims=cfg["dims"], stem_factory=stem,
-            drop_path_rate=drop_path_rate, **common,
+            drop_path_rate=drop_path_rate, remat=remat, use_pallas=use_pallas, pallas_interpret=pallas_interpret, **common,
         )
         meta = ModelMeta(name, "convnext")
 
@@ -87,7 +90,7 @@ def get_model(
             stem = partial(ConvStem, siz=48, end_siz=8, fin_dim=432 if updated else 384)
         model = ConvNeXtIsotropic(
             dim=432 if updated else 384, depth=18, stem_factory=stem,
-            drop_path_rate=drop_path_rate, **common,
+            drop_path_rate=drop_path_rate, remat=remat, use_pallas=use_pallas, pallas_interpret=pallas_interpret, **common,
         )
         meta = ModelMeta(name, "convnext")
 
@@ -121,7 +124,7 @@ def get_model(
         stem = partial(ConvStem1, siz=8) if not_original else None
         model = ConvNeXt(
             depths=(1, 1, 1, 1), dims=(16, 32, 64, 128), stem_factory=stem,
-            drop_path_rate=drop_path_rate, **common,
+            drop_path_rate=drop_path_rate, remat=remat, use_pallas=use_pallas, pallas_interpret=pallas_interpret, **common,
         )
         meta = ModelMeta(name, "convnext")
 
@@ -144,6 +147,18 @@ def get_model(
         )
         meta = ModelMeta(name, "resnet", has_batch_stats=True)
 
+    elif name == "densnet201":  # reference spelling (utils_architecture.py:310)
+        from .densenet import DenseNet
+
+        model = DenseNet(num_classes=num_classes, dtype=dtype)
+        meta = ModelMeta(name, "resnet", has_batch_stats=True)  # BN family rule
+
+    elif name == "inception":
+        from .inception import InceptionV3
+
+        model = InceptionV3(num_classes=num_classes, dtype=dtype)
+        meta = ModelMeta(name, "resnet", has_batch_stats=True)
+
     else:
         raise ValueError(f"unknown model {name!r}; available: {', '.join(list_models())}")
 
@@ -158,5 +173,5 @@ def list_models() -> Sequence[str]:
         "convnext_tiny", "convnext_small", "convnext_base", "convnext_large",
         "convnext_iso", "convnext_tiny_21k", "vit_s", "deit_s", "vit_s_21k",
         "vit_m", "vit_b", "resnet50", "resnet50_gelu", "resnet101", "wrn_50_2",
-        "convnext_micro", "vit_micro",
+        "densnet201", "inception", "convnext_micro", "vit_micro",
     )

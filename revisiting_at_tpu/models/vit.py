@@ -97,7 +97,7 @@ class ViTBlock(nn.Module):
         return x * gamma.astype(x.dtype)
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         y = LayerNorm(dtype=self.dtype, name="norm1")(x)
         y = Attention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(y)
         y = self._ls("ls1", y)
@@ -130,6 +130,7 @@ class VisionTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     embed_factory: Callable[..., nn.Module] | None = None
     use_blurpool: bool = False
+    remat: bool = False  # checkpoint each transformer block
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -168,8 +169,9 @@ class VisionTransformer(nn.Module):
             tokens = tokens + pos.astype(tokens.dtype)
 
         dp = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
+        block_cls = nn.remat(ViTBlock, static_argnums=(2,)) if self.remat else ViTBlock
         for i in range(self.depth):
-            tokens = ViTBlock(
+            tokens = block_cls(
                 self.embed_dim,
                 self.num_heads,
                 self.mlp_ratio,
@@ -177,7 +179,7 @@ class VisionTransformer(nn.Module):
                 init_values=self.init_values,
                 dtype=self.dtype,
                 name=f"block{i}",
-            )(tokens, train=train)
+            )(tokens, train)
 
         tokens = LayerNorm(dtype=self.dtype, name="norm")(tokens)
         cls_out = tokens[:, 0]

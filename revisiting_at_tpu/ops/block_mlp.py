@@ -1,0 +1,263 @@
+"""Pallas TPU kernel: fused LayerNorm -> Dense(4C) -> GELU -> Dense(C)
+-> LayerScale -> (DropPath) -> residual — the ConvNeXt block tail.
+
+Why: profiling the fused AT train step on v5e shows the XLA fusions around
+the two pointwise matmuls at ~13 TF/s (HBM-bound, 56% of step time): each
+block tail materializes the LN output, the 4C-wide GELU activation and the
+LayerScale product in HBM. This kernel keeps all of it in VMEM: per tile it
+reads the dwconv output `s` and the residual `r` once and writes `y` once.
+
+Backward is a second Pallas kernel via custom_vjp: it saves only `s` and the
+small parameters, recomputes LN/h/gelu per tile (flash-style), emits `ds` in
+one pass, and accumulates dW1/db1/dW2/db2/dgamma/dLN in f32 output refs
+across the (sequential) TPU grid.
+
+Used for channel widths C <= 384 (stages 0-2 of ConvNeXt-T/S); at C = 768
+the resident f32 weight-grad accumulators outgrow VMEM — XLA keeps stage 3.
+
+Semantics: y = r + keep * gamma * (gelu(LN(s) @ W1 + b1) @ W2 + b2)
+  keep:  per-sample DropPath scale (1/keep_prob or 0), [B] f32 (ones if off)
+  LN:    eps 1e-6, f32 statistics. GELU: exact (erf), matching timm.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SQRT_2 = math.sqrt(2.0)
+INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
+
+
+def _erf(x):
+    """erf via Abramowitz-Stegun 7.1.26 (max abs error 1.5e-7) — Pallas TPU
+    has no erf primitive; this uses only exp/mul/add on the VPU."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_f32(h):
+    return 0.5 * h * (1.0 + _erf(h / SQRT_2))
+
+
+def _dgelu_f32(h):
+    cdf = 0.5 * (1.0 + _erf(h / SQRT_2))
+    pdf = jnp.exp(-0.5 * h * h) * INV_SQRT_2PI
+    return cdf + h * pdf
+
+
+def _ln_f32(s, g, b, eps=1e-6):
+    mu = jnp.mean(s, axis=-1, keepdims=True)
+    var = jnp.mean((s - mu) ** 2, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (s - mu) * inv
+    return xhat * g + b, xhat, inv
+
+
+def _dotT_acc(a16, b16):
+    """a16 [m, P], b16 [m, Q] -> a16^T @ b16 [P, Q] in f32 (weight grads)."""
+    return jax.lax.dot_general(
+        a16, b16, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _dot_rhsT(a16, w16):
+    """a16 [m, Q] @ w16[P, Q]^T -> [m, P] in f32."""
+    return jax.lax.dot_general(
+        a16, w16, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+# ------------------------------------------------------------------ forward
+
+def _fwd_kernel(s_ref, r_ref, keep_ref, lng_ref, lnb_ref, w1_ref, b1_ref,
+                w2_ref, b2_ref, gamma_ref, y_ref):
+    s = s_ref[0].astype(jnp.float32)
+    u, _, _ = _ln_f32(s, lng_ref[0], lnb_ref[0])
+    h = jnp.dot(u.astype(jnp.bfloat16), w1_ref[:], preferred_element_type=jnp.float32)
+    h = h + b1_ref[0]
+    g = _gelu_f32(h)
+    o = jnp.dot(g.astype(jnp.bfloat16), w2_ref[:], preferred_element_type=jnp.float32)
+    o = o + b2_ref[0]
+    keep = keep_ref[pl.program_id(0), 0]
+    y = r_ref[0].astype(jnp.float32) + keep * gamma_ref[0] * o
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
+# ----------------------------------------------------------------- backward
+
+def _bwd_kernel(s_ref, keep_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+                gamma_ref, dy_ref,
+                ds_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dgo_ref,
+                dlng_ref, dlnb_ref):
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _init():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+        dgo_ref[:] = jnp.zeros_like(dgo_ref)
+        dlng_ref[:] = jnp.zeros_like(dlng_ref)
+        dlnb_ref[:] = jnp.zeros_like(dlnb_ref)
+
+    s = s_ref[0].astype(jnp.float32)
+    g_ln = lng_ref[0]
+    u, xhat, inv = _ln_f32(s, g_ln, lnb_ref[0])
+    u16 = u.astype(jnp.bfloat16)
+    h = jnp.dot(u16, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[0]
+    g = _gelu_f32(h)
+    g16 = g.astype(jnp.bfloat16)
+    o = jnp.dot(g16, w2_ref[:], preferred_element_type=jnp.float32)  # pre-b2
+
+    dy = dy_ref[0].astype(jnp.float32)
+    keep = keep_ref[pl.program_id(0), 0]
+    gamma = gamma_ref[0]
+    kdy = keep * dy
+
+    # y = r + keep*gamma*(o + b2)
+    db2_ref[0] += jnp.sum(kdy * gamma, axis=0)
+    dgo_ref[0] += jnp.sum(kdy * o, axis=0)  # o-part of dgamma; b2-part outside
+
+    do16 = (kdy * gamma).astype(jnp.bfloat16)
+    dw2_ref[:] += _dotT_acc(g16, do16)
+    dg = _dot_rhsT(do16, w2_ref[:])
+    dh = dg * _dgelu_f32(h)
+    dh16 = dh.astype(jnp.bfloat16)
+    db1_ref[0] += jnp.sum(dh, axis=0)
+    dw1_ref[:] += _dotT_acc(u16, dh16)
+    du = _dot_rhsT(dh16, w1_ref[:])
+
+    dlng_ref[0] += jnp.sum(du * xhat, axis=0)
+    dlnb_ref[0] += jnp.sum(du, axis=0)
+
+    dxh = du * g_ln
+    m1 = jnp.mean(dxh, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxh * xhat, axis=-1, keepdims=True)
+    ds = inv * (dxh - m1 - xhat * m2)
+    ds_ref[0] = ds.astype(ds_ref.dtype)
+
+
+# ------------------------------------------------------------- custom vjp
+
+def _specs(B, m_tile, C, H):
+    return dict(
+        s=pl.BlockSpec((1, m_tile, C), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
+        vecC=pl.BlockSpec((1, C), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        vecH=pl.BlockSpec((1, H), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        w1=pl.BlockSpec((C, H), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        w2=pl.BlockSpec((H, C), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        # whole [B,1] vector resident in VMEM; kernels index it by program_id
+        keep=pl.BlockSpec((B, 1), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+def block_mlp(s, r, keep, ln_g, ln_b, w1, b1, w2, b2, gamma, m_tile, interpret):
+    return _fwd_impl(s, r, keep, ln_g, ln_b, w1, b1, w2, b2, gamma, m_tile, interpret)
+
+
+def _fwd_impl(s, r, keep, ln_g, ln_b, w1, b1, w2, b2, gamma, m_tile, interpret):
+    B, M, C = s.shape
+    H = w1.shape[1]
+    T = M // m_tile
+    sp = _specs(B, m_tile, C, H)
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(B, T),
+        in_specs=[sp["s"], sp["s"], sp["keep"], sp["vecC"], sp["vecC"],
+                  sp["w1"], sp["vecH"], sp["w2"], sp["vecC"], sp["vecC"]],
+        out_specs=sp["s"],
+        out_shape=jax.ShapeDtypeStruct((B, M, C), s.dtype),
+        interpret=interpret,
+    )(s, r, keep.reshape(B, 1), ln_g.reshape(1, C), ln_b.reshape(1, C),
+      w1, b1.reshape(1, H), w2, b2.reshape(1, C), gamma.reshape(1, C))
+
+
+def _vjp_fwd(s, r, keep, ln_g, ln_b, w1, b1, w2, b2, gamma, m_tile, interpret):
+    y = _fwd_impl(s, r, keep, ln_g, ln_b, w1, b1, w2, b2, gamma, m_tile, interpret)
+    return y, (s, keep, ln_g, ln_b, w1, b1, w2, b2, gamma)
+
+
+def _vjp_bwd(m_tile, interpret, res, dy):
+    s, keep, ln_g, ln_b, w1, b1, w2, b2, gamma = res
+    B, M, C = s.shape
+    H = w1.shape[1]
+    sp = _specs(B, m_tile, C, H)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, M, C), s.dtype),   # ds
+        jax.ShapeDtypeStruct((C, H), jnp.float32),  # dw1
+        jax.ShapeDtypeStruct((1, H), jnp.float32),  # db1
+        jax.ShapeDtypeStruct((H, C), jnp.float32),  # dw2
+        jax.ShapeDtypeStruct((1, C), jnp.float32),  # db2
+        jax.ShapeDtypeStruct((1, C), jnp.float32),  # dgamma (o-part)
+        jax.ShapeDtypeStruct((1, C), jnp.float32),  # dln_g
+        jax.ShapeDtypeStruct((1, C), jnp.float32),  # dln_b
+    )
+    out_specs = (sp["s"], sp["w1"], sp["vecH"], sp["w2"], sp["vecC"],
+                 sp["vecC"], sp["vecC"], sp["vecC"])
+
+    ds, dw1, db1, dw2, db2, dgo, dlng, dlnb = pl.pallas_call(
+        _bwd_kernel,
+        grid=(B, M // m_tile),
+        in_specs=[sp["s"], sp["keep"], sp["vecC"], sp["vecC"], sp["w1"],
+                  sp["vecH"], sp["w2"], sp["vecC"], sp["s"]],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(s, keep.reshape(B, 1), ln_g.reshape(1, C), ln_b.reshape(1, C), w1,
+      b1.reshape(1, H), w2, gamma.reshape(1, C), dy)
+
+    # dgamma = sum(keep*dy*(o + b2)) — kernel accumulated the o-part
+    kdy_sum = jnp.sum(dy.astype(jnp.float32) * keep.reshape(B, 1, 1), axis=(0, 1))
+    dgamma = dgo.reshape(C) + b2.astype(jnp.float32) * kdy_sum
+    dkeep = jnp.zeros_like(keep)  # droppath mask: no gradient needed
+    dr = dy
+
+    return (ds, dr, dkeep, dlng.reshape(C), dlnb.reshape(C), dw1,
+            db1.reshape(H), dw2, db2.reshape(C), dgamma)
+
+
+block_mlp.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def pick_m_tile(M: int) -> int:
+    for cand in (2048, 1024, 784, 512, 448, 392, 256, 196, 128, 112, 98, 64, 49, 32, 16, 8):
+        if M % cand == 0:
+            return cand
+    return M
+
+
+def convnext_block_tail(
+    s: jax.Array,  # dwconv output [B, Hs, Ws, C]
+    r: jax.Array,  # block input (residual) [B, Hs, Ws, C]
+    keep: jax.Array,  # per-sample droppath scale [B] f32 (ones when inactive)
+    ln_g: jax.Array, ln_b: jax.Array,
+    w1: jax.Array, b1: jax.Array,
+    w2: jax.Array, b2: jax.Array,
+    gamma: jax.Array,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """NHWC wrapper around the fused block-tail kernel."""
+    B, Hs, Ws, C = s.shape
+    M = Hs * Ws
+    y = block_mlp(
+        s.reshape(B, M, C), r.reshape(B, M, C), keep.astype(jnp.float32),
+        ln_g, ln_b, w1.astype(jnp.bfloat16), b1,
+        w2.astype(jnp.bfloat16), b2, gamma, pick_m_tile(M), interpret,
+    )
+    return y.reshape(B, Hs, Ws, C)

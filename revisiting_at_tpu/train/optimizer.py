@@ -29,17 +29,30 @@ def wd_mask(params: Any, family: str) -> Any:
 
     def convnext_rule(path, leaf):
         names = _path_names(path)
-        return not (names[-1] == "bias")
+        return not names[-1].endswith("bias")
 
     def resnet_rule(path, leaf):
         names = _path_names(path)
         in_bn = any("bn" in n or n.endswith("_bn") or n == "BatchNorm" for n in names)
-        return not (in_bn or names[-1] == "bias")
+        return not (in_bn or names[-1].endswith("bias"))
 
     def ndim_rule(path, leaf):
         return leaf.ndim > 1
 
     rule = {"convnext": convnext_rule, "resnet": resnet_rule}.get(family, ndim_rule)
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def freeze_labels(params: Any, early: bool) -> Any:
+    """'train'/'freeze' label pytree for stem-only vs all-but-stem fine-tuning
+    (reference freeze_some_layers, main.py:305-324: early=True trains ONLY the
+    stem; early=False trains everything BUT the stem)."""
+
+    def rule(path, leaf):
+        in_stem = any("stem" in n.lower() for n in _path_names(path))
+        trainable = in_stem if early else not in_stem
+        return "train" if trainable else "freeze"
+
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
@@ -52,6 +65,8 @@ def make_optimizer(
     learning_rate: Callable | float,
     params: Any,
     grad_clip: float | None = None,
+    freeze_some: bool = False,
+    early: bool = True,
 ) -> optax.GradientTransformation:
     mask = wd_mask(params, family)
     parts = []
@@ -75,4 +90,9 @@ def make_optimizer(
         parts.append(optax.scale_by_learning_rate(learning_rate))
     else:
         raise ValueError(f"unknown optimizer {optimizer!r}")
-    return optax.chain(*parts)
+    tx = optax.chain(*parts)
+    if freeze_some:
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, freeze_labels(params, early)
+        )
+    return tx

@@ -34,13 +34,20 @@ from ..utils.flops import param_count
 from ..utils.logging import RunLogger, make_run_name
 from .ema import ema_init
 from .optimizer import make_optimizer
-from .schedule import LRConfig, make_lr_schedule
+from .schedule import LRConfig, get_resolution, make_lr_schedule
 from .state import TrainState
 from .train_step import AdvConfig, make_eval_step, make_train_step
 
 
 class Trainer:
-    def __init__(self, cfg: Config, train_data=None, val_data=None):
+    """train_data_factory: optional callable res -> iterable, used to rebuild
+    the input pipeline when the resolution ramp changes the train resolution
+    (reference get_resolution/decoder.output_size, main.py:372-388,714-718;
+    constant 224 in the paper recipe)."""
+
+    def __init__(self, cfg: Config, train_data=None, val_data=None,
+                 train_data_factory=None):
+        self.train_data_factory = train_data_factory
         self.cfg = cfg
         t = cfg.training
 
@@ -57,6 +64,8 @@ class Trainer:
             drop_path_rate=cfg.model.drop_path_rate,
             use_blurpool=bool(t.use_blurpool),
             add_normalization=bool(cfg.model.add_normalization),
+            use_pallas=bool(t.use_pallas),
+            remat=bool(t.remat),
         )
 
         res = cfg.resolution.max_res
@@ -99,6 +108,8 @@ class Trainer:
             family=self.meta.family,
             learning_rate=self.lr_schedule,
             params=params,
+            freeze_some=bool(cfg.model.freeze_some),
+            early=bool(cfg.model.early),
         )
         opt_state = self.tx.init(params)
 
@@ -233,6 +244,14 @@ class Trainer:
         self.logger.log({"Validation acc": acc, "points": n})
 
         for epoch in range(self.start_epoch, cfg.training.epochs):
+            res = get_resolution(
+                epoch, cfg.resolution.min_res, cfg.resolution.max_res,
+                cfg.resolution.start_ramp, cfg.resolution.end_ramp,
+            )
+            if res != self.res and self.train_data_factory is not None:
+                self.logger.log({"event": "resolution_change", "res": res})
+                self.train_data = self.train_data_factory(res)
+                self.res = res
             t0 = time.time()
             train_loss = self.train_loop(epoch)
             epoch_time = time.time() - t0

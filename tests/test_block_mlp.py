@@ -1,0 +1,96 @@
+"""Pallas fused block-tail kernel vs the plain jnp path: forward and every
+gradient must agree (kernel run in interpret mode on CPU)."""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from revisiting_at_tpu.ops.block_mlp import block_mlp, pick_m_tile
+
+
+def make_inputs(B=2, M=32, C=16, seed=0):
+    rng = np.random.RandomState(seed)
+    s = rng.randn(B, M, C).astype(np.float32)
+    r = rng.randn(B, M, C).astype(np.float32)
+    keep = np.array([1.0, 0.5][:B] + [1.0] * max(0, B - 2), np.float32)[:B]
+    ln_g = rng.uniform(0.5, 1.5, C).astype(np.float32)
+    ln_b = rng.randn(C).astype(np.float32) * 0.1
+    w1 = (rng.randn(C, 4 * C) * 0.1).astype(np.float32)
+    b1 = rng.randn(4 * C).astype(np.float32) * 0.1
+    w2 = (rng.randn(4 * C, C) * 0.1).astype(np.float32)
+    b2 = rng.randn(C).astype(np.float32) * 0.1
+    gamma = rng.uniform(0.1, 1.0, C).astype(np.float32)
+    return tuple(jnp.asarray(v) for v in (s, r, keep, ln_g, ln_b, w1, b1, w2, b2, gamma))
+
+
+def ref_impl(s, r, keep, ln_g, ln_b, w1, b1, w2, b2, gamma):
+    sf = s.astype(jnp.float32)
+    mu = sf.mean(-1, keepdims=True)
+    var = ((sf - mu) ** 2).mean(-1, keepdims=True)
+    u = (sf - mu) * jax.lax.rsqrt(var + 1e-6) * ln_g + ln_b
+    h = u.astype(jnp.bfloat16) @ w1.astype(jnp.bfloat16)
+    h = h.astype(jnp.float32) + b1
+    g = jax.nn.gelu(h, approximate=False)
+    o = g.astype(jnp.bfloat16) @ w2.astype(jnp.bfloat16)
+    o = o.astype(jnp.float32) + b2
+    return r + keep[:, None, None] * gamma * o
+
+
+class TestBlockMlpKernel:
+    def test_forward_matches(self):
+        args = make_inputs()
+        y_ref = ref_impl(*args)
+        s = args[0]
+        y_k = block_mlp(*args, pick_m_tile(s.shape[1]), True)
+        np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref), atol=2e-2, rtol=1e-2)
+
+    def test_gradients_match(self):
+        args = make_inputs(seed=1)
+        m_tile = pick_m_tile(args[0].shape[1])
+
+        def loss_k(*a):
+            return jnp.sum(block_mlp(*a, m_tile, True) ** 2)
+
+        def loss_r(*a):
+            return jnp.sum(ref_impl(*a) ** 2)
+
+        # differentiate wrt everything except keep (index 2)
+        argnums = (0, 1, 3, 4, 5, 6, 7, 8, 9)
+        gk = jax.grad(loss_k, argnums=argnums)(*args)
+        gr = jax.grad(loss_r, argnums=argnums)(*args)
+        names = ["ds", "dr", "dln_g", "dln_b", "dw1", "db1", "dw2", "db2", "dgamma"]
+        for n, a, b in zip(names, gk, gr):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            denom = np.abs(b).max() + 1e-6
+            assert np.abs(a - b).max() / denom < 3e-2, (n, np.abs(a - b).max(), denom)
+
+    def test_uneven_m_tile(self):
+        # M not a multiple of any nice tile: pads internally
+        args = make_inputs(B=1, M=24, C=16, seed=2)
+        y_ref = ref_impl(*args)
+        y_k = block_mlp(*args, pick_m_tile(24), True)
+        np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref), atol=2e-2, rtol=1e-2)
+
+    def test_in_model_equivalence(self):
+        """ConvNeXt with use_pallas (interpret) == without, fwd and input grad."""
+        from revisiting_at_tpu.models import get_model
+
+        kw = dict(not_original=True, num_classes=7, dtype=jnp.float32)
+        m0, _ = get_model("convnext_micro", **kw)
+        m1, _ = get_model("convnext_micro", use_pallas=True, pallas_interpret=True, **kw)
+        v = m0.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        a = m0.apply(v, x, train=False)
+        b = m1.apply(v, x, train=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-2)
+        ga = jax.grad(lambda xx: jnp.sum(m0.apply(v, xx, train=False)))(x)
+        gb = jax.grad(lambda xx: jnp.sum(m1.apply(v, xx, train=False)))(x)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=5e-3, rtol=2e-2)
+
+
+if __name__ == "__main__":
+    sys.exit(pytest.main([__file__, "-x", "-q"]))

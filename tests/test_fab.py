@@ -1,0 +1,119 @@
+"""FAB-T tests: projection optimality and end-to-end minimum-norm attack."""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from revisiting_at_tpu.evals.fab import (
+    _proj_hyperplane_box_l2,
+    _proj_hyperplane_box_linf,
+    fab_attack_targeted,
+)
+
+
+def rand_problem(bs=16, d=40, seed=0):
+    rng = np.random.RandomState(seed)
+    t = rng.uniform(0.05, 0.95, size=(bs, d)).astype(np.float32)
+    w = rng.randn(bs, d).astype(np.float32)
+    # hyperplane cutting through: make roughly half the rows infeasible
+    b = (w * t).sum(-1) - rng.uniform(-1.0, 1.0, size=bs).astype(np.float32)
+    return t, w, b
+
+
+class TestProjections:
+    def test_linf_feasible_and_tight(self):
+        t, w, b = rand_problem(seed=1)
+        delta = np.asarray(_proj_hyperplane_box_linf(jnp.asarray(t), jnp.asarray(w), jnp.asarray(b)))
+        z = t + delta
+        assert z.min() >= -1e-6 and z.max() <= 1 + 1e-6
+        viol_before = (w * t).sum(-1) - b
+        viol_after = (w * z).sum(-1) - b
+        # all projected points (approximately) satisfy the constraint
+        assert (viol_after <= 1e-3 * np.abs(b).max() + 1e-3).all()
+        # rows already feasible keep delta == 0
+        np.testing.assert_allclose(delta[viol_before <= 0], 0.0)
+
+    def test_linf_optimality_vs_bruteforce(self):
+        # compare against a fine scan over radii: the bisection radius must be
+        # within tolerance of the smallest feasible radius
+        t, w, b = rand_problem(bs=8, d=12, seed=2)
+        delta = np.asarray(_proj_hyperplane_box_linf(jnp.asarray(t), jnp.asarray(w), jnp.asarray(b)))
+        for i in range(8):
+            viol = (w[i] * t[i]).sum() - b[i]
+            if viol <= 0:
+                continue
+            r_star = None
+            for r in np.linspace(0, 1, 2001):
+                z = np.clip(t[i] - r * np.sign(w[i]), 0, 1)
+                if (w[i] * z).sum() <= b[i] + 1e-6:
+                    r_star = r
+                    break
+            got = np.abs(delta[i]).max()
+            assert r_star is not None
+            assert abs(got - r_star) < 2e-3, (i, got, r_star)
+
+    def test_l2_kkt(self):
+        t, w, b = rand_problem(seed=3)
+        delta = np.asarray(_proj_hyperplane_box_l2(jnp.asarray(t), jnp.asarray(w), jnp.asarray(b)))
+        z = t + delta
+        assert z.min() >= -1e-6 and z.max() <= 1 + 1e-6
+        viol_after = (w * z).sum(-1) - b
+        assert (viol_after <= 1e-2).all()
+        # KKT structure: interior coordinates move along -w (delta ∝ -w)
+        viol_before = (w * t).sum(-1) - b
+        for i in np.where(viol_before > 0)[0]:
+            interior = (z[i] > 1e-4) & (z[i] < 1 - 1e-4) & (np.abs(delta[i]) > 1e-5)
+            if interior.sum() > 1:
+                ratio = delta[i][interior] / -w[i][interior]
+                assert ratio.std() / (abs(ratio.mean()) + 1e-9) < 0.05
+
+
+class TestFabAttack:
+    def test_finds_min_norm_adversarial_on_linear_model(self):
+        rng = np.random.RandomState(4)
+        d, nc, bs = 48, 7, 16
+        wm = (rng.randn(d, nc) * 0.8).astype(np.float32)
+        wj = jnp.asarray(wm)
+        fn = lambda xa: xa.reshape(xa.shape[0], -1) @ wj
+        x = rng.uniform(0.2, 0.8, size=(bs, 4, 4, 3)).astype(np.float32)
+        logits = x.reshape(bs, -1) @ wm
+        y = logits.argmax(-1).astype(np.int64)  # all clean-correct
+        order = np.argsort(logits, -1)
+        targets = order[:, -2:-5:-1].astype(np.int64)  # 3 targets
+
+        x_adv, success = fab_attack_targeted(
+            fn, jnp.asarray(x), jnp.asarray(y), jnp.asarray(targets),
+            norm="Linf", eps=0.15, n_iter=30,
+        )
+        x_adv, success = np.asarray(x_adv), np.asarray(success)
+        assert success.mean() > 0.5  # linear model, generous eps
+        # successful points are misclassified and within the ball
+        pred = np.asarray(fn(jnp.asarray(x_adv))).argmax(-1)
+        assert (pred[success] != y[success]).all()
+        assert np.abs(x_adv - x).max() <= 0.15 + 1e-5
+        # unsuccessful points return clean x
+        np.testing.assert_allclose(x_adv[~success], x[~success])
+
+    def test_l2_variant_runs(self):
+        rng = np.random.RandomState(5)
+        wm = (rng.randn(48, 7) * 0.8).astype(np.float32)
+        wj = jnp.asarray(wm)
+        fn = lambda xa: xa.reshape(xa.shape[0], -1) @ wj
+        x = rng.uniform(0.2, 0.8, size=(8, 4, 4, 3)).astype(np.float32)
+        y = (x.reshape(8, -1) @ wm).argmax(-1).astype(np.int64)
+        targets = ((y + 1) % 7)[:, None].astype(np.int64)
+        x_adv, success = fab_attack_targeted(
+            fn, jnp.asarray(x), jnp.asarray(y), jnp.asarray(targets),
+            norm="L2", eps=1.5, n_iter=20,
+        )
+        from revisiting_at_tpu.ops import l2_norm
+
+        assert float(l2_norm(jnp.asarray(np.asarray(x_adv) - x)).max()) <= 1.5 + 1e-3
+
+
+if __name__ == "__main__":
+    sys.exit(pytest.main([__file__, "-x", "-q"]))

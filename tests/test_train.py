@@ -159,7 +159,7 @@ class TestWdMask:
 
         flat = flax.traverse_util.flatten_dict(mask)
         for path, decayed in flat.items():
-            if path[-1] == "bias":
+            if path[-1].endswith("bias"):
                 assert not decayed, path
             else:
                 assert decayed, path  # incl. LN scale and gamma (reference quirk)
