@@ -1,0 +1,227 @@
+"""Import published PyTorch checkpoints (the reference's timm models) into
+our Flax param trees — the eval-parity bridge.
+
+The reference saves raw timm state_dicts with optional 'module.' (DDP) and
+'base_model.' (WrappedModel) prefixes, handled by a strip cascade
+(main.py:856-872, AA_eval.py:185-189). This module reproduces that prefix
+handling and maps timm-0.8 parameter names/layouts to ours:
+
+  torch Linear  [out, in]      -> kernel [in, out]
+  torch Conv2d  [O, I, kh, kw] -> kernel [kh, kw, I, O]  (NHWC HWIO)
+  depthwise     [C, 1, 7, 7]   -> kernel [7, 7, 1, C]
+
+Covered: timm ConvNeXt (T/S/B/L) incl. the ConvStem variants, timm ViT
+(vit_s/deit_s/vit_m/vit_b) incl. ConvStem patch embeds.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+
+def strip_prefixes(sd: Mapping[str, Any]) -> dict[str, np.ndarray]:
+    """The reference's prefix cascade: drop 'module.' and 'base_model.',
+    skip the normalizer buffers ('normalize.mean/std') and 'model.' wrapper."""
+    out = {}
+    for k, v in sd.items():
+        k = k.replace("module.", "").replace("base_model.", "")
+        if k.startswith("model."):
+            k = k[len("model."):]
+        if k.startswith("normalize."):
+            continue
+        out[k] = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+    return out
+
+
+def _conv(w):  # [O, I, kh, kw] -> [kh, kw, I, O]
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _dwconv(w):  # [C, 1, kh, kw] -> [kh, kw, 1, C]
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _lin(w):  # [out, in] -> [in, out]
+    return np.transpose(w, (1, 0))
+
+
+def _convstem_entries(sd, torch_prefix, flax_prefix, out):
+    """Reference ConvBlock/1/2/3: Sequential under '<prefix>.stem.<i>' with
+    convs at even-ish indices and LNs after (utils_architecture.py:120-217).
+    Our ConvStem modules name them conv{i}/norm{i} in order, plus 'proj' for
+    the final 1x1 (ConvBlock/ConvBlock2)."""
+    seq_prefix = torch_prefix + ".stem."
+    idxs = sorted(
+        {int(k[len(seq_prefix):].split(".")[0])
+         for k in sd if k.startswith(seq_prefix)}
+    )
+    conv_i = 0
+    norm_i = 0
+    layers = []
+    for i in idxs:
+        w = sd[f"{torch_prefix}.stem.{i}.weight"]
+        if w.ndim == 4:
+            layers.append(("conv", i))
+        elif w.ndim == 1:
+            layers.append(("norm", i))
+    # the trailing 1x1 conv (if any) maps to 'proj'
+    n_convs = sum(1 for t, _ in layers if t == "conv")
+    n_norms = sum(1 for t, _ in layers if t == "norm")
+    has_proj = n_convs > n_norms
+    seen_convs = 0
+    for t, i in layers:
+        if t == "conv":
+            seen_convs += 1
+            is_proj = has_proj and seen_convs == n_convs
+            name = "proj" if is_proj else f"conv{conv_i}"
+            if not is_proj:
+                conv_i += 1
+            dst = f"{flax_prefix}/{name}" + ("" if is_proj else "/Conv_0")
+            # ConvStem wraps convs in our Conv module (submodule Conv_0);
+            # proj is a bare Conv as well
+            if is_proj:
+                dst = f"{flax_prefix}/proj/Conv_0"
+            out[f"{dst}/kernel"] = _conv(sd[f"{torch_prefix}.stem.{i}.weight"])
+            out[f"{dst}/bias"] = sd[f"{torch_prefix}.stem.{i}.bias"]
+        else:
+            dst = f"{flax_prefix}/norm{norm_i}/LayerNorm_0"
+            norm_i += 1
+            out[f"{dst}/scale"] = sd[f"{torch_prefix}.stem.{i}.weight"]
+            out[f"{dst}/bias"] = sd[f"{torch_prefix}.stem.{i}.bias"]
+
+
+def convnext_from_torch(sd: Mapping[str, Any], *, not_original: bool = False,
+                        stem_module: str = "ConvStem1_0") -> dict[str, np.ndarray]:
+    """timm ConvNeXt state_dict -> flat {'a/b/c': array} for our ConvNeXt."""
+    sd = strip_prefixes(sd)
+    out: dict[str, np.ndarray] = {}
+
+    if not_original:
+        _convstem_entries(sd, "stem", stem_module, out)
+    else:
+        out["stem/proj/Conv_0/kernel"] = _conv(sd["stem.0.weight"])
+        out["stem/proj/Conv_0/bias"] = sd["stem.0.bias"]
+        out["stem/norm/LayerNorm_0/scale"] = sd["stem.1.weight"]
+        out["stem/norm/LayerNorm_0/bias"] = sd["stem.1.bias"]
+
+    # stages/blocks (timm-0.8 naming: conv_dw, norm, mlp.fc1/fc2, gamma)
+    block_keys = [k for k in sd if k.startswith("stages.")]
+    stages = sorted({int(k.split(".")[1]) for k in block_keys})
+    for s in stages:
+        # downsample (stages>0): stages.s.downsample.0 = LN, .1 = conv
+        if f"stages.{s}.downsample.0.weight" in sd:
+            out[f"downsample_norm{s}/LayerNorm_0/scale"] = sd[f"stages.{s}.downsample.0.weight"]
+            out[f"downsample_norm{s}/LayerNorm_0/bias"] = sd[f"stages.{s}.downsample.0.bias"]
+            out[f"downsample_conv{s}/Conv_0/kernel"] = _conv(sd[f"stages.{s}.downsample.1.weight"])
+            out[f"downsample_conv{s}/Conv_0/bias"] = sd[f"stages.{s}.downsample.1.bias"]
+        blocks = sorted(
+            {int(k.split(".")[3]) for k in block_keys if k.startswith(f"stages.{s}.blocks.")}
+        )
+        for b in blocks:
+            src = f"stages.{s}.blocks.{b}"
+            dst = f"stage{s}_block{b}"
+            out[f"{dst}/dwconv/kernel"] = _dwconv(sd[f"{src}.conv_dw.weight"])
+            out[f"{dst}/dwconv/bias"] = sd[f"{src}.conv_dw.bias"]
+            out[f"{dst}/norm_scale"] = sd[f"{src}.norm.weight"]
+            out[f"{dst}/norm_bias"] = sd[f"{src}.norm.bias"]
+            out[f"{dst}/pwconv1_kernel"] = _lin(sd[f"{src}.mlp.fc1.weight"])
+            out[f"{dst}/pwconv1_bias"] = sd[f"{src}.mlp.fc1.bias"]
+            out[f"{dst}/pwconv2_kernel"] = _lin(sd[f"{src}.mlp.fc2.weight"])
+            out[f"{dst}/pwconv2_bias"] = sd[f"{src}.mlp.fc2.bias"]
+            if f"{src}.gamma" in sd:
+                out[f"{dst}/gamma"] = sd[f"{src}.gamma"]
+
+    # head: timm convnext head.norm + head.fc (0.8 naming: head.norm, head.fc)
+    hn = "head.norm" if "head.norm.weight" in sd else "norm"
+    out["head_norm/LayerNorm_0/scale"] = sd[f"{hn}.weight"]
+    out["head_norm/LayerNorm_0/bias"] = sd[f"{hn}.bias"]
+    hf = "head.fc" if "head.fc.weight" in sd else "head"
+    out["head/kernel"] = _lin(sd[f"{hf}.weight"])
+    out["head/bias"] = sd[f"{hf}.bias"]
+    return out
+
+
+def vit_from_torch(sd: Mapping[str, Any], *, not_original: bool = False,
+                   embed_module: str = "ConvStem_0") -> dict[str, np.ndarray]:
+    """timm VisionTransformer state_dict -> flat params for our ViT."""
+    sd = strip_prefixes(sd)
+    out: dict[str, np.ndarray] = {}
+    out["cls_token"] = sd["cls_token"]
+    out["pos_embed"] = sd["pos_embed"]
+
+    if not_original:
+        _convstem_entries(sd, "patch_embed.proj", embed_module, out)
+    else:
+        out["patch_embed/proj/Conv_0/kernel"] = _conv(sd["patch_embed.proj.weight"])
+        out["patch_embed/proj/Conv_0/bias"] = sd["patch_embed.proj.bias"]
+
+    depth = max(int(k.split(".")[1]) for k in sd if k.startswith("blocks.")) + 1
+    for i in range(depth):
+        src = f"blocks.{i}"
+        dst = f"block{i}"
+        out[f"{dst}/norm1/LayerNorm_0/scale"] = sd[f"{src}.norm1.weight"]
+        out[f"{dst}/norm1/LayerNorm_0/bias"] = sd[f"{src}.norm1.bias"]
+        out[f"{dst}/attn/qkv/kernel"] = _lin(sd[f"{src}.attn.qkv.weight"])
+        out[f"{dst}/attn/qkv/bias"] = sd[f"{src}.attn.qkv.bias"]
+        out[f"{dst}/attn/proj/kernel"] = _lin(sd[f"{src}.attn.proj.weight"])
+        out[f"{dst}/attn/proj/bias"] = sd[f"{src}.attn.proj.bias"]
+        out[f"{dst}/norm2/LayerNorm_0/scale"] = sd[f"{src}.norm2.weight"]
+        out[f"{dst}/norm2/LayerNorm_0/bias"] = sd[f"{src}.norm2.bias"]
+        out[f"{dst}/mlp/fc1/kernel"] = _lin(sd[f"{src}.mlp.fc1.weight"])
+        out[f"{dst}/mlp/fc1/bias"] = sd[f"{src}.mlp.fc1.bias"]
+        out[f"{dst}/mlp/fc2/kernel"] = _lin(sd[f"{src}.mlp.fc2.weight"])
+        out[f"{dst}/mlp/fc2/bias"] = sd[f"{src}.mlp.fc2.bias"]
+        if f"{src}.ls1.gamma" in sd:  # DeiT3 LayerScale
+            out[f"{dst}/ls1"] = sd[f"{src}.ls1.gamma"]
+            out[f"{dst}/ls2"] = sd[f"{src}.ls2.gamma"]
+    out["norm/LayerNorm_0/scale"] = sd["norm.weight"]
+    out["norm/LayerNorm_0/bias"] = sd["norm.bias"]
+    out["head/kernel"] = _lin(sd["head.weight"])
+    out["head/bias"] = sd["head.bias"]
+    return out
+
+
+def to_param_tree(flat: dict[str, np.ndarray], target_params: Any) -> Any:
+    """Unflatten {'a/b/c': arr} into the structure of `target_params`,
+    verifying every target leaf is covered and shapes match."""
+    import flax
+    import jax.numpy as jnp
+
+    tgt_flat = flax.traverse_util.flatten_dict(target_params, sep="/")
+    missing = sorted(set(tgt_flat) - set(flat))
+    extra = sorted(set(flat) - set(tgt_flat))
+    if missing or extra:
+        raise ValueError(f"param mismatch: missing={missing[:6]} extra={extra[:6]}")
+    out = {}
+    for k, tgt in tgt_flat.items():
+        v = flat[k]
+        if tuple(v.shape) != tuple(tgt.shape):
+            v = v.reshape(tgt.shape)
+        out[k] = jnp.asarray(v, tgt.dtype)
+    return flax.traverse_util.unflatten_dict(out, sep="/")
+
+
+def load_torch_checkpoint(path: str, model_name: str, target_params: Any,
+                          *, not_original: bool = False) -> Any:
+    """Load a reference .pt checkpoint file into our param tree."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if isinstance(sd, dict) and "model_state_dict" in sd:  # full_model_*.pth
+        sd = sd["model_state_dict"]
+    if model_name.startswith("convnext"):
+        # base/large use ConvStem3 (reference :262,269); tiny/small/micro ConvStem1
+        stem_mod = (
+            "ConvStem3_0" if ("base" in model_name or "large" in model_name)
+            else "ConvStem_0" if model_name == "convnext_iso"
+            else "ConvStem1_0"
+        )
+        flat = convnext_from_torch(sd, not_original=not_original, stem_module=stem_mod)
+    elif model_name.startswith(("vit", "deit")):
+        emb = "ConvStem2_0" if model_name == "vit_m" else "ConvStem_0"
+        flat = vit_from_torch(sd, not_original=not_original, embed_module=emb)
+    else:
+        raise ValueError(f"no torch import mapping for {model_name!r}")
+    return to_param_tree(flat, target_params)

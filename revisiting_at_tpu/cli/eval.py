@@ -35,6 +35,10 @@ def get_args(argv=None):
     p.add_argument("--use_ema", type=int, default=0)
     p.add_argument("--save_imgs", action="store_true")
     p.add_argument("--n_iter", type=int, default=100)
+    p.add_argument("--torch_ckpt", type=str, default="",
+                   help="load a reference PyTorch .pt checkpoint instead of orbax")
+    p.add_argument("--use_pallas", type=int, default=0,
+                   help="fused block-tail kernel for ConvNeXt eval (TPU only)")
     return p.parse_args(argv)
 
 
@@ -93,17 +97,36 @@ def main(argv=None):
         dtype=jnp.bfloat16,
         use_blurpool=bool(cfg.training.use_blurpool),
         add_normalization=bool(cfg.model.add_normalization),
+        use_pallas=bool(args.use_pallas),
     )
 
-    # restore checkpoint via orbax
-    import orbax.checkpoint as ocp
+    if args.torch_ckpt:
+        # published-checkpoint bridge (reference main.py:856-872 semantics)
+        from ..ckpt.torch_import import load_torch_checkpoint
 
-    mgr = ocp.CheckpointManager(str((run_dir / "ckpt").absolute()))
-    step = mgr.latest_step() if args.epoch < 0 else args.epoch
-    assert step is not None, f"no checkpoint in {run_dir}/ckpt"
-    restored = mgr.restore(step)
-    params = restored["ema_params"] if (args.use_ema and restored.get("ema_params")) else restored["params"]
-    batch_stats = restored.get("batch_stats")
+        target = jax.eval_shape(
+            lambda: model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 224, 224, 3), jnp.float32),
+                train=False,
+            )
+        )["params"]
+        target = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), target)
+        params = load_torch_checkpoint(
+            args.torch_ckpt, cfg.model.arch, target,
+            not_original=bool(cfg.model.not_original),
+        )
+        batch_stats = None
+    else:
+        # restore checkpoint via orbax
+        import orbax.checkpoint as ocp
+
+        mgr = ocp.CheckpointManager(str((run_dir / "ckpt").absolute()))
+        step = mgr.latest_step() if args.epoch < 0 else args.epoch
+        assert step is not None, f"no checkpoint in {run_dir}/ckpt"
+        restored = mgr.restore(step)
+        params = restored["ema_params"] if (args.use_ema and restored.get("ema_params")) else restored["params"]
+        batch_stats = restored.get("batch_stats")
 
     if meta.family == "vit" and args.img_size != 224:
         params = resize_vit_pos_embed(params, args.img_size, meta.patch_size)

@@ -118,6 +118,12 @@ class AdvSection:
 class MiscSection:
     notes: str = ""
     use_channel_last: int = 1  # NHWC is native on TPU; kept for config parity
+    # observability (SURVEY.md §5): jax.profiler trace of the first
+    # `profile_steps` train steps into <run_dir>/trace; nan debugging aborts
+    # on the op producing the first NaN (replaces the reference's post-hoc
+    # NaN-loss exit with actionable tracing)
+    profile_steps: int = 0
+    debug_nans: int = 0
 
 
 @dataclasses.dataclass

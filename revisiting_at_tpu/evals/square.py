@@ -40,6 +40,126 @@ def _p_selection(p_init: float, it: Array) -> Array:
     return p_init / divisors[idx]
 
 
+def _pyramid(s: int) -> jnp.ndarray:
+    """Pseudo-gaussian pyramid pattern of the L2 Square attack: concentric
+    squares from the center weighted 1/(k+1)^2, unit L2 norm; for even s the
+    two halves get opposite signs (zero-mean)."""
+    import numpy as np
+
+    p = np.asarray(_pyramid_odd(s if s % 2 else s + 1))[:s, :s]
+    if s % 2 == 0:
+        p[s // 2 :] *= -1.0  # zero-mean for even sizes
+    p = p / np.sqrt((p**2).sum() + 1e-12)
+    return jnp.asarray(p, jnp.float32)
+
+
+def _pyramid_odd(s: int):
+    import numpy as np
+
+    delta = np.zeros((s, s), np.float64)
+    c = s // 2
+    for k in range(c + 1):
+        lo, hi = c - k, c + k + 1
+        delta[lo:hi, lo:hi] += 1.0 / (k + 1) ** 2
+    return delta
+
+
+def square_attack_l2(
+    logits_fn: Callable[[Array], Array],
+    x: Array,
+    y: Array,
+    *,
+    eps: float = 2.0,
+    n_queries: int = 5000,
+    p_init: float = 0.8,
+    rng: Array | None = None,
+) -> tuple[Array, Array]:
+    """L2 Square attack: maintains ||delta||_2 <= eps by moving perturbation
+    mass between two random windows each query, writing a pyramid ("eta")
+    pattern scaled to the freed budget into the first window (Andriushchenko
+    et al. 2020, Algorithm 3 semantics; the even-size eta construction is a
+    documented zero-mean variant)."""
+    assert rng is not None
+    b, h, w, c = x.shape
+    x = x.astype(jnp.float32)
+    d = h * w * c
+
+    # init: full-budget pyramid tiles of size h//5 with random signs
+    k_init, k_loop = jax.random.split(rng)
+    s0 = max(h // 5, 2)
+    tile = _pyramid(s0)
+    reps_h = (h + s0 - 1) // s0
+    reps_w = (w + s0 - 1) // s0
+    pat = jnp.tile(tile, (reps_h, reps_w))[:h, :w]
+    signs = jnp.where(
+        jax.random.bernoulli(k_init, 0.5, (b, reps_h, reps_w, c)), 1.0, -1.0
+    )
+    signs = jnp.repeat(jnp.repeat(signs, s0, axis=1), s0, axis=2)[:, :h, :w, :]
+    delta = pat[None, :, :, None] * signs
+    nrm = jnp.sqrt(jnp.sum(delta**2, axis=(1, 2, 3), keepdims=True))
+    delta = delta / (nrm + 1e-12) * eps
+    x_best = jnp.clip(x + delta, 0.0, 1.0)
+    margin_min, loss_min = _margin_loss(logits_fn(x_best), y)
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, (1, h, w, 1), 1)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (1, h, w, 1), 2)
+
+    def body(carry, it):
+        x_best, margin_min, loss_min = carry
+        k = jax.random.fold_in(k_loop, it)
+        k_pos1, k_pos2, k_sign = jax.random.split(k, 3)
+
+        p = _p_selection(p_init, it)
+        s = jnp.clip(jnp.round(jnp.sqrt(p * h * w / c)).astype(jnp.int32), 3, h - 1)
+        delta = x_best - x  # true perturbation incl. past clipping
+
+        def window(kk):
+            vh = jax.random.randint(kk, (b, 1, 1, 1), 0, h - s + 1)
+            vw = jax.random.randint(jax.random.fold_in(kk, 1), (b, 1, 1, 1), 0, w - s + 1)
+            return (ys >= vh) & (ys < vh + s) & (xs >= vw) & (xs < vw + s), vh, vw
+
+        w1, vh1, vw1 = window(k_pos1)
+        w2, _, _ = window(k_pos2)
+        w2 = w2 & ~w1  # donor window must not erase the new content
+
+        n_all = jnp.sum(delta**2, axis=(1, 2, 3))
+        n_w1 = jnp.sum(jnp.where(w1, delta, 0.0) ** 2, axis=(1, 2, 3))
+        n_w2 = jnp.sum(jnp.where(w2, delta, 0.0) ** 2, axis=(1, 2, 3))
+        budget = jnp.sqrt(jnp.maximum(eps**2 - n_all + n_w1 + n_w2, 0.0))
+
+        # eta pattern placed at W1 via gather-free roll: build a full-size map
+        # by scaling the (max-size) pyramid; use dynamic slice-fill via masks
+        # with distance-from-corner indexing
+        dy = ys - vh1
+        dxx = xs - vw1
+        # pyramid value at (dy, dxx) for size s: concentric L_inf rings
+        ring = jnp.maximum(jnp.abs(dy - (s - 1) / 2.0), jnp.abs(dxx - (s - 1) / 2.0))
+        k_ring = jnp.ceil(ring - 0.01).astype(jnp.int32)
+        eta = jnp.where(w1, 1.0 / (k_ring.astype(jnp.float32) + 1.0) ** 2, 0.0)
+        ch_sign = jnp.where(jax.random.bernoulli(k_sign, 0.5, (b, 1, 1, c)), 1.0, -1.0)
+        eta = eta * ch_sign
+        eta_n = jnp.sqrt(jnp.sum(eta**2, axis=(1, 2, 3), keepdims=True))
+        eta = eta / (eta_n + 1e-12) * budget[:, None, None, None]
+
+        cand_delta = jnp.where(w2, 0.0, delta)
+        cand_delta = jnp.where(w1, eta, cand_delta)
+        cand = jnp.clip(x + cand_delta, 0.0, 1.0)
+
+        margin_c, loss_c = _margin_loss(logits_fn(cand), y)
+        improved = loss_c < loss_min
+        active = margin_min > 0.0
+        take = jnp.logical_and(improved, active)
+        x_best = jnp.where(take[:, None, None, None], cand, x_best)
+        loss_min = jnp.where(take, loss_c, loss_min)
+        margin_min = jnp.where(take, margin_c, margin_min)
+        return (x_best, margin_min, loss_min), None
+
+    (x_best, margin_min, _), _ = jax.lax.scan(
+        body, (x_best, margin_min, loss_min), jnp.arange(n_queries - 1)
+    )
+    return x_best, margin_min > 0.0
+
+
 def square_attack(
     logits_fn: Callable[[Array], Array],
     x: Array,
@@ -52,11 +172,12 @@ def square_attack(
     rng: Array | None = None,
 ) -> tuple[Array, Array]:
     """Returns (x_best, acc): acc[i]=False means sample i was misclassified."""
-    if norm != "Linf":
-        raise NotImplementedError(
-            "square_attack currently implements the Linf variant (the norm of "
-            "every headline AA row in the reference, BASELINE.md); L2 planned."
+    if norm == "L2":
+        return square_attack_l2(
+            logits_fn, x, y, eps=eps, n_queries=n_queries, p_init=p_init, rng=rng
         )
+    if norm != "Linf":
+        raise NotImplementedError(f"square_attack: unsupported norm {norm!r}")
     assert rng is not None
     b, h, w, c = x.shape
     x = x.astype(jnp.float32)

@@ -51,6 +51,9 @@ class Trainer:
         self.cfg = cfg
         t = cfg.training
 
+        if cfg.misc.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+
         self.mesh = make_mesh(MeshConfig(fsdp=cfg.dist.fsdp))
         self.batch_sharding = batch_sharding(self.mesh)
 
@@ -224,7 +227,16 @@ class Trainer:
     def train_loop(self, epoch: int) -> float:
         losses = []
         aug_rng = jax.random.PRNGKey(self.cfg.data.seed * 100003 + epoch)
+        profile_steps = self.cfg.misc.profile_steps if epoch == self.start_epoch else 0
         for ix, (images, labels) in enumerate(self.train_data):
+            if profile_steps and ix == 1:  # skip the compile step
+                jax.profiler.start_trace(str(self.logger.dir / "trace"))
+            if profile_steps and ix == 1 + profile_steps:
+                jax.block_until_ready(self.state.params)
+                jax.profiler.stop_trace()
+                self.logger.log({"event": "trace_written",
+                                 "dir": str(self.logger.dir / "trace")})
+                profile_steps = 0
             images = jnp.asarray(images)
             labels = jnp.asarray(labels)
             if self.use_randaug:

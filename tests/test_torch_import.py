@@ -1,0 +1,220 @@
+"""Torch-checkpoint import bridge: numerical equivalence test.
+
+Builds small PyTorch models with timm-0.8 module naming and forward
+semantics (the reference's checkpoint format), imports their state_dicts
+through ckpt/torch_import.py, and requires logits parity with our Flax
+models — proving both the name/layout mapping and that our architectures
+match torch numerics.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from revisiting_at_tpu.ckpt.torch_import import (
+    convnext_from_torch,
+    to_param_tree,
+    vit_from_torch,
+)
+from revisiting_at_tpu.models import get_model
+
+torch = pytest.importorskip("torch")
+nn = torch.nn
+
+DIMS = (16, 32, 64, 128)
+DEPTHS = (1, 1, 1, 1)
+NCLS = 9
+
+
+class LayerNorm2d(nn.LayerNorm):
+    def forward(self, x):  # channels_first LN (timm LayerNorm2d)
+        x = x.permute(0, 2, 3, 1)
+        x = super().forward(x)
+        return x.permute(0, 3, 1, 2)
+
+
+class TBlock(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.conv_dw = nn.Conv2d(dim, dim, 7, padding=3, groups=dim)
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = nn.Module()
+        self.mlp.fc1 = nn.Linear(dim, 4 * dim)
+        self.mlp.fc2 = nn.Linear(4 * dim, dim)
+        self.gamma = nn.Parameter(torch.full((dim,), 1e-6))
+
+    def forward(self, x):
+        shortcut = x
+        x = self.conv_dw(x)
+        x = x.permute(0, 2, 3, 1)
+        x = self.norm(x)
+        x = self.mlp.fc2(torch.nn.functional.gelu(self.mlp.fc1(x)))
+        x = self.gamma * x
+        x = x.permute(0, 3, 1, 2)
+        return shortcut + x
+
+
+class TStage(nn.Module):
+    def __init__(self, cin, cout, depth, downsample):
+        super().__init__()
+        if downsample:
+            self.downsample = nn.Sequential(
+                LayerNorm2d(cin, eps=1e-6), nn.Conv2d(cin, cout, 2, stride=2)
+            )
+        else:
+            self.downsample = nn.Identity()
+        self.blocks = nn.Sequential(*[TBlock(cout) for _ in range(depth)])
+
+    def forward(self, x):
+        return self.blocks(self.downsample(x))
+
+
+class TConvNeXt(nn.Module):
+    def __init__(self, cvst=False):
+        super().__init__()
+        if cvst:
+            # reference ConvBlock1(siz=8): conv3x3 s2 + LN + GELU, x2
+            self.stem = nn.Module()
+            self.stem.stem = nn.Sequential(
+                nn.Conv2d(3, 8, 3, stride=2, padding=1), LayerNorm2d(8, eps=1e-6),
+                nn.GELU(),
+                nn.Conv2d(8, 16, 3, stride=2, padding=1), LayerNorm2d(16, eps=1e-6),
+                nn.GELU(),
+            )
+        else:
+            self.stem = nn.Sequential(
+                nn.Conv2d(3, DIMS[0], 4, stride=4), LayerNorm2d(DIMS[0], eps=1e-6)
+            )
+        self.stages = nn.Sequential(
+            *[TStage(DIMS[max(i - 1, 0)], DIMS[i], DEPTHS[i], downsample=i > 0)
+              for i in range(4)]
+        )
+        self.head = nn.Module()
+        self.head.norm = nn.LayerNorm(DIMS[-1], eps=1e-6)
+        self.head.fc = nn.Linear(DIMS[-1], NCLS)
+        self._cvst = cvst
+
+    def forward(self, x):
+        x = self.stem.stem(x) if self._cvst else self.stem(x)
+        x = self.stages(x)
+        x = x.mean(dim=(2, 3))
+        x = self.head.norm(x)
+        return self.head.fc(x)
+
+
+class TAttn(nn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.qkv = nn.Linear(dim, 3 * dim)
+        self.proj = nn.Linear(dim, dim)
+        self.heads = heads
+
+    def forward(self, x):
+        B, N, D = x.shape
+        qkv = self.qkv(x).reshape(B, N, 3, self.heads, D // self.heads)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = q.transpose(1, 2)
+        k = k.transpose(1, 2)
+        v = v.transpose(1, 2)
+        attn = (q @ k.transpose(-2, -1)) * (D // self.heads) ** -0.5
+        attn = attn.softmax(dim=-1)
+        out = (attn @ v).transpose(1, 2).reshape(B, N, D)
+        return self.proj(out)
+
+
+class TViTBlock(nn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = TAttn(dim, heads)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = nn.Module()
+        self.mlp.fc1 = nn.Linear(dim, 4 * dim)
+        self.mlp.fc2 = nn.Linear(4 * dim, dim)
+
+    def forward(self, x):
+        x = x + self.attn(self.norm1(x))
+        x = x + self.mlp.fc2(torch.nn.functional.gelu(self.mlp.fc1(self.norm2(x))))
+        return x
+
+
+class TViT(nn.Module):
+    def __init__(self, dim=32, depth=2, heads=2, img=32, patch=16):
+        super().__init__()
+        n = (img // patch) ** 2
+        self.cls_token = nn.Parameter(torch.randn(1, 1, dim) * 0.02)
+        self.pos_embed = nn.Parameter(torch.randn(1, n + 1, dim) * 0.02)
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(3, dim, patch, stride=patch)
+        self.blocks = nn.Sequential(*[TViTBlock(dim, heads) for _ in range(depth)])
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.head = nn.Linear(dim, NCLS)
+
+    def forward(self, x):
+        x = self.patch_embed.proj(x)
+        B, D, H, W = x.shape
+        x = x.flatten(2).transpose(1, 2)
+        cls = self.cls_token.expand(B, -1, -1)
+        x = torch.cat([cls, x], dim=1) + self.pos_embed
+        x = self.blocks(x)
+        x = self.norm(x)
+        return self.head(x[:, 0])
+
+
+def _logits_close(t_model, flax_model, params, x_nchw, atol=2e-4):
+    t_model.eval()
+    with torch.no_grad():
+        ref = t_model(torch.from_numpy(x_nchw)).numpy()
+    x_nhwc = jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1)))
+    ours = np.asarray(flax_model.apply({"params": params}, x_nhwc, train=False))
+    np.testing.assert_allclose(ours, ref, atol=atol, rtol=1e-3)
+
+
+class TestConvNextImport:
+    @pytest.mark.parametrize("cvst", [False, True])
+    def test_logits_parity(self, cvst):
+        torch.manual_seed(0)
+        tm = TConvNeXt(cvst=cvst)
+        model, _ = get_model(
+            "convnext_micro", not_original=cvst, num_classes=NCLS, dtype=jnp.float32
+        )
+        target = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                            train=False)["params"]
+        flat = convnext_from_torch(
+            tm.state_dict(), not_original=cvst, stem_module="ConvStem1_0"
+        )
+        params = to_param_tree(flat, target)
+        x = np.random.RandomState(1).uniform(0, 1, (2, 3, 32, 32)).astype(np.float32)
+        _logits_close(tm, model, params, x)
+
+    def test_prefix_cascade(self):
+        torch.manual_seed(2)
+        tm = TConvNeXt()
+        sd = {f"module.base_model.{k}": v for k, v in tm.state_dict().items()}
+        sd["module.base_model.normalize.mean"] = torch.zeros(1, 3, 1, 1)
+        model, _ = get_model("convnext_micro", num_classes=NCLS, dtype=jnp.float32)
+        target = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                            train=False)["params"]
+        params = to_param_tree(convnext_from_torch(sd), target)
+        x = np.random.RandomState(3).uniform(0, 1, (2, 3, 32, 32)).astype(np.float32)
+        _logits_close(tm, model, params, x)
+
+
+class TestViTImport:
+    def test_logits_parity(self):
+        torch.manual_seed(4)
+        tm = TViT()
+        model, _ = get_model("vit_micro", num_classes=NCLS, dtype=jnp.float32)
+        target = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                            train=False)["params"]
+        params = to_param_tree(vit_from_torch(tm.state_dict()), target)
+        x = np.random.RandomState(5).uniform(0, 1, (2, 3, 32, 32)).astype(np.float32)
+        _logits_close(tm, model, params, x, atol=5e-4)
+
+
+if __name__ == "__main__":
+    sys.exit(pytest.main([__file__, "-x", "-q"]))
