@@ -122,8 +122,8 @@ def convnext_from_torch(sd: Mapping[str, Any], *, not_original: bool = False,
         for b in blocks:
             src = f"stages.{s}.blocks.{b}"
             dst = f"stage{s}_block{b}"
-            out[f"{dst}/dwconv/kernel"] = _dwconv(sd[f"{src}.conv_dw.weight"])
-            out[f"{dst}/dwconv/bias"] = sd[f"{src}.conv_dw.bias"]
+            out[f"{dst}/dwconv_kernel"] = _dwconv(sd[f"{src}.conv_dw.weight"])
+            out[f"{dst}/dwconv_bias"] = sd[f"{src}.conv_dw.bias"]
             out[f"{dst}/norm_scale"] = sd[f"{src}.norm.weight"]
             out[f"{dst}/norm_bias"] = sd[f"{src}.norm.bias"]
             out[f"{dst}/pwconv1_kernel"] = _lin(sd[f"{src}.mlp.fc1.weight"])

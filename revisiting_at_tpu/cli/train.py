@@ -24,6 +24,13 @@ def main(argv=None):
 
     cfg = config_from_args(argv)
 
+    if cfg.dist.multihost:
+        # one process per host; coordinator/process ids from the TPU env —
+        # XLA then sees the global device set and pjit shards across hosts
+        import jax
+
+        jax.distributed.initialize()
+
     train_data = val_data = None
     if cfg.data.dataset == "folder" and cfg.data.train_dataset:
         import jax

@@ -100,6 +100,9 @@ class DistSection:
     fsdp: int = 1  # parameter-sharding axis size (1 = pure DP)
     address: str = "localhost"
     port: str = "12355"
+    # multi-host: call jax.distributed.initialize() before touching devices
+    # (replaces the reference's mp.spawn + NCCL rendezvous, main.py:348-356)
+    multihost: int = 0
 
 
 @dataclasses.dataclass

@@ -44,21 +44,31 @@ class ConvNeXtBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     pallas_interpret: bool = False  # CPU-test mode for the kernel
+    # separate gate: the Pallas dwconv measured SLOWER than XLA's lowering on
+    # v5e (242 vs 143 ms/step — 49 sublane-unaligned shifted reads); kept as
+    # groundwork, off by default
+    use_pallas_dwconv: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         C = self.dim
         shortcut = x
-        s = nn.Conv(
-            features=C,
-            kernel_size=(7, 7),
-            padding=[(3, 3), (3, 3)],
-            feature_group_count=C,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=trunc_normal_init,
-            name="dwconv",
-        )(x)
+        dw_k = self.param("dwconv_kernel", trunc_normal_init, (7, 7, 1, C), jnp.float32)
+        dw_b = self.param("dwconv_bias", nn.initializers.zeros, (C,), jnp.float32)
+
+        if self.use_pallas_dwconv and C <= 384:
+            from ..ops.dwconv import dwconv7x7
+
+            s = dwconv7x7(x.astype(self.dtype), dw_k, dw_b, self.pallas_interpret)
+        else:
+            s = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                dw_k.astype(self.dtype),
+                window_strides=(1, 1),
+                padding=[(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=C,
+            ) + dw_b.astype(self.dtype)
 
         ln_g = self.param("norm_scale", nn.initializers.ones, (C,), jnp.float32)
         ln_b = self.param("norm_bias", nn.initializers.zeros, (C,), jnp.float32)
@@ -128,6 +138,7 @@ class ConvNeXt(nn.Module):
     # for recompute — the right trade on TPU where the AT step is HBM-bound
     use_pallas: bool = False  # fused Pallas block-tail kernel (C <= 384)
     pallas_interpret: bool = False
+    use_pallas_dwconv: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -165,6 +176,7 @@ class ConvNeXt(nn.Module):
                     dtype=self.dtype,
                     use_pallas=self.use_pallas,
                     pallas_interpret=self.pallas_interpret,
+                    use_pallas_dwconv=self.use_pallas_dwconv,
                     name=f"stage{si}_block{bi}",
                 )(x, train)
                 cur += 1

@@ -1,0 +1,107 @@
+"""Data pipeline tests: ImageFolder listing, tf.data decode path, on-device
+augmentations."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def make_image_tree(root, n_classes=2, n_per_class=3, size=40):
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    for c in range(n_classes):
+        d = os.path.join(root, f"class_{c}")
+        os.makedirs(d, exist_ok=True)
+        for i in range(n_per_class):
+            arr = rng.randint(0, 255, size=(size, size, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(os.path.join(d, f"img_{i}.jpg"), quality=90)
+
+
+class TestImageFolder:
+    def test_listing_sorted_and_labeled(self, tmp_path):
+        from revisiting_at_tpu.data.folder import list_image_folder
+
+        make_image_tree(str(tmp_path))
+        files, labels, classes = list_image_folder(tmp_path)
+        assert classes == ["class_0", "class_1"]
+        assert len(files) == 6
+        assert labels == [0, 0, 0, 1, 1, 1]
+
+    def test_train_pipeline_shapes(self, tmp_path):
+        from revisiting_at_tpu.data.folder import FolderConfig, make_folder_dataset
+
+        make_image_tree(str(tmp_path))
+        it_fn, n_batches = make_folder_dataset(
+            FolderConfig(root=str(tmp_path), resolution=32, batch_size=2,
+                         is_train=True, shuffle_buffer=8)
+        )
+        batch = next(iter(it_fn()))
+        images, labels = batch
+        assert images.shape == (2, 32, 32, 3) and images.dtype == np.uint8
+        assert labels.shape == (2,)
+        assert n_batches == 3
+
+    def test_eval_pipeline_center_crop(self, tmp_path):
+        from revisiting_at_tpu.data.folder import FolderConfig, make_folder_dataset
+
+        make_image_tree(str(tmp_path), size=64)
+        it_fn, _ = make_folder_dataset(
+            FolderConfig(root=str(tmp_path), resolution=32, batch_size=2,
+                         is_train=False, drop_remainder=False)
+        )
+        images, labels = next(iter(it_fn()))
+        assert images.shape == (2, 32, 32, 3)
+
+    def test_process_sharding(self, tmp_path):
+        from revisiting_at_tpu.data.folder import FolderConfig, make_folder_dataset
+
+        make_image_tree(str(tmp_path))
+        cfg = FolderConfig(root=str(tmp_path), resolution=32, batch_size=1,
+                           is_train=False, drop_remainder=False)
+        n0 = sum(lab.shape[0] for _, lab in make_folder_dataset(cfg, 0, 2)[0]())
+        n1 = sum(lab.shape[0] for _, lab in make_folder_dataset(cfg, 1, 2)[0]())
+        assert n0 + n1 == 6 and abs(n0 - n1) <= 1
+
+
+class TestOnDeviceAugment:
+    def test_augment_batch_shapes_and_determinism(self):
+        from revisiting_at_tpu.data.augment import RandAugmentConfig, augment_batch
+
+        rng = jax.random.PRNGKey(0)
+        imgs = (np.random.RandomState(1).uniform(0, 255, (4, 24, 24, 3))).astype(np.uint8)
+        out1 = augment_batch(rng, jnp.asarray(imgs))
+        out2 = augment_batch(rng, jnp.asarray(imgs))
+        assert out1.shape == (4, 24, 24, 3) and out1.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+        # different key -> different augmentation
+        out3 = augment_batch(jax.random.PRNGKey(1), jnp.asarray(imgs))
+        assert float(jnp.abs(out1 - out3).max()) > 0
+
+    def test_all_ops_produce_valid_pixels(self):
+        from revisiting_at_tpu.data.augment import _apply_op
+
+        rng = np.random.RandomState(2)
+        img = jnp.asarray(rng.uniform(0, 1, (16, 16, 3)).astype(np.float32))
+        for op in range(15):
+            out = _apply_op(img, jnp.asarray(op), jnp.asarray(9.0), jnp.asarray(1.0))
+            assert out.shape == img.shape
+            assert bool(jnp.isfinite(out).all()), op
+            assert float(out.min()) >= -1e-5 and float(out.max()) <= 1 + 1e-5, op
+
+    def test_random_erasing_leaves_most_pixels(self):
+        from revisiting_at_tpu.data.augment import random_erasing_single
+
+        img = jnp.ones((16, 16, 3)) * 0.5
+        out = random_erasing_single(jax.random.PRNGKey(3), img, prob=1.0)
+        changed = float(jnp.mean((out != img).any(-1).astype(jnp.float32)))
+        assert 0.0 < changed <= 0.34  # max_area = 1/3
+
+
+if __name__ == "__main__":
+    sys.exit(pytest.main([__file__, "-x", "-q"]))
