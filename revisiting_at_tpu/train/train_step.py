@@ -61,15 +61,35 @@ def make_train_step(
     seed: int = 0,
     has_batch_stats: bool = False,
     donate: bool = True,
+    mesh=None,
+    data_axes: tuple[str, ...] = ("data", "fsdp"),
 ) -> Callable[[TrainState, jax.Array, jax.Array], tuple[TrainState, dict]]:
     """Build the jitted train step: (state, images NHWC [0,1], int labels) ->
-    (state, metrics)."""
+    (state, metrics).
+
+    mesh=None: rely on jit + NamedSharding auto-partitioning (XLA inserts the
+    gradient all-reduce). mesh given: wrap the whole step in `shard_map` over
+    the batch axes with explicit `pmean` of grads/metrics — this makes every
+    op inside (including Pallas custom calls, which the auto-partitioner
+    would otherwise gather to full batch) shard-local. Params must be
+    replicated in this mode (pure DP; FSDP uses the auto path).
+    """
 
     root_key = jax.random.PRNGKey(seed)
+    shard_mode = mesh is not None
 
     def step_fn(state: TrainState, images: jax.Array, labels: jax.Array):
         rng = jax.random.fold_in(root_key, state.step)
-        k_mix, k_attack, k_drop = jax.random.split(rng, 3)
+        if shard_mode:
+            # k_mix stays shard-invariant (batch-mode mixup draws ONE lam);
+            # per-sample randomness (attack noise, droppath) decorrelates
+            k_mix = jax.random.fold_in(rng, 1)
+            local = rng
+            for ax in data_axes:
+                local = jax.random.fold_in(local, jax.lax.axis_index(ax))
+            _, k_attack, k_drop = jax.random.split(local, 3)
+        else:
+            k_mix, k_attack, k_drop = jax.random.split(rng, 3)
 
         images = images.astype(jnp.float32)
         if mixup is not None:
@@ -143,6 +163,12 @@ def make_train_step(
             state.params
         )
 
+        if shard_mode:
+            grads = jax.lax.pmean(grads, data_axes)
+            loss = jax.lax.pmean(loss, data_axes)
+            if new_stats is not None:
+                new_stats = jax.lax.pmean(new_stats, data_axes)
+
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
@@ -170,7 +196,27 @@ def make_train_step(
             "adv_acc": adv_acc,
             "grad_norm": optax.global_norm(grads),
         }
+        if shard_mode:
+            metrics = {
+                k: jax.lax.pmean(v, data_axes) if k != "grad_norm" else v
+                for k, v in metrics.items()
+            }
         return new_state, metrics
+
+    if shard_mode:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        batch_spec = P(data_axes)
+        # check_vma=False: Pallas out_shapes don't carry vma annotations
+        fn = shard_map(
+            step_fn,
+            mesh=mesh,
+            in_specs=(P(), batch_spec, batch_spec),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 

@@ -160,6 +160,12 @@ class Trainer:
             noise_level=cfg.adv.noise_level,
             skip_projection=bool(cfg.adv.skip_projection),
         )
+        # Pallas custom calls aren't auto-partitionable: under a multi-device
+        # mesh the step runs in shard_map (pure DP, params replicated). FSDP
+        # keeps the auto-sharding path (pallas off there).
+        use_shard_map = (
+            bool(t.use_pallas) and self.mesh.size > 1 and cfg.dist.fsdp == 1
+        )
         self.train_step = make_train_step(
             self.model,
             self.tx,
@@ -168,6 +174,7 @@ class Trainer:
             ema_decay=0.9999 if use_ema else 0.0,
             seed=t.seed,
             has_batch_stats=self.meta.has_batch_stats,
+            mesh=self.mesh if use_shard_map else None,
         )
         self.eval_step = make_eval_step(self.model, lr_tta=bool(cfg.validation.lr_tta))
 

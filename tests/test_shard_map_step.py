@@ -1,0 +1,91 @@
+"""shard_map train-step mode: multi-device DP with Pallas kernels shard-local.
+
+Verifies (a) the shard_map step runs the full APGD AT step on the 8-device
+mesh with use_pallas (interpret), (b) its compiled HLO contains no batch
+all-gather (the auto-partitioner's fallback around custom calls), and
+(c) loss/param updates agree with the auto-sharded non-pallas path.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from revisiting_at_tpu.config import Config
+from revisiting_at_tpu.data.synthetic import SyntheticData
+from revisiting_at_tpu.train.trainer import Trainer
+
+
+def cfg_for(tmp_path, use_pallas):
+    cfg = Config()
+    cfg.model.arch = "convnext_micro"
+    cfg.model.not_original = 1
+    cfg.model.add_normalization = 0
+    cfg.data.num_classes = 13
+    cfg.training.batch_size = 16
+    cfg.training.precision = "fp32"
+    cfg.training.use_pallas = use_pallas
+    cfg.resolution.min_res = cfg.resolution.max_res = 32
+    cfg.validation.batch_size = 16
+    cfg.validation.resolution = 32
+    cfg.adv.attack = "apgd"
+    cfg.adv.n_iter = 2
+    cfg.logging.folder = str(tmp_path)
+    return cfg
+
+
+@pytest.fixture()
+def interpret_kernels(monkeypatch):
+    import revisiting_at_tpu.train.trainer as T
+
+    orig = T.get_model
+
+    def patched(name, **kw):
+        kw["pallas_interpret"] = True
+        return orig(name, **kw)
+
+    monkeypatch.setattr(T, "get_model", patched)
+
+
+class TestShardMapStep:
+    def test_runs_and_matches_auto_path(self, tmp_path, interpret_kernels):
+        train = SyntheticData(16, 32, 13, n_batches=2)
+        val = SyntheticData(16, 32, 13, seed=1, n_batches=1)
+
+        tr_sm = Trainer(cfg_for(tmp_path / "a", use_pallas=1), train, val)
+        tr_auto = Trainer(cfg_for(tmp_path / "b", use_pallas=0), train, val)
+        assert len(jax.devices()) == 8
+
+        loss_sm = tr_sm.train_loop(0)
+        loss_auto = tr_auto.train_loop(0)
+        # same data/seeds; kernels differ only by tanh-vs-erf gelu and the
+        # shard-local rng layout — losses must be close, not identical
+        assert abs(loss_sm - loss_auto) < 0.05, (loss_sm, loss_auto)
+
+        p_sm = jax.tree.leaves(tr_sm.state.params)[0]
+        p_auto = jax.tree.leaves(tr_auto.state.params)[0]
+        np.testing.assert_allclose(
+            np.asarray(p_sm), np.asarray(p_auto), atol=5e-3, rtol=1e-2
+        )
+
+    def test_no_batch_allgather_in_hlo(self, tmp_path, interpret_kernels):
+        train = SyntheticData(16, 32, 13, n_batches=1)
+        val = SyntheticData(16, 32, 13, seed=1, n_batches=1)
+        tr = Trainer(cfg_for(tmp_path, use_pallas=1), train, val)
+        images = jnp.zeros((16, 32, 32, 3))
+        labels = jnp.zeros((16,), jnp.int32)
+        txt = tr.train_step.lower(tr.state, images, labels).compile().as_text()
+        # the batch at 32x32x3 sharded 8 ways is 2x32x32x3 per shard; an
+        # all-gather of a [16,...] batch tensor would betray replication.
+        import re
+
+        for m in re.finditer(r"all-gather[^\n]*", txt):
+            line = m.group(0)
+            assert "16,32,32" not in line, line
+
+
+if __name__ == "__main__":
+    sys.exit(pytest.main([__file__, "-x", "-q"]))
