@@ -13,8 +13,6 @@ Layout per run dir:
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any
-
 import jax
 import orbax.checkpoint as ocp
 

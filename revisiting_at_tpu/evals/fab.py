@@ -24,7 +24,6 @@ batch over the mesh. Everything is one `lax.scan` over iterations.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -10,7 +10,6 @@ library (AA_eval.py:226-239).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import Conv, LayerNorm, trunc_normal_init
+from .layers import Conv, LayerNorm
 
 
 class PatchifyStem(nn.Module):

@@ -17,7 +17,6 @@ import math
 import sys
 import time
 from pathlib import Path
-from typing import Any, Iterable
 
 import jax
 import jax.numpy as jnp
