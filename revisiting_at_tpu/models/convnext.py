@@ -83,15 +83,16 @@ class ConvNeXtBlock(nn.Module):
         else:
             gamma = jnp.ones((C,), jnp.float32)
 
-        # per-sample DropPath keep-scale (1/keep_p or 0); ones when inactive
-        if self.drop_path > 0.0 and train:
+        # per-sample DropPath keep-scale (1/keep_p or 0); None when inactive
+        droppath_active = self.drop_path > 0.0 and train
+        if droppath_active:
             keep_p = 1.0 - self.drop_path
             mask = jax.random.bernoulli(
                 self.make_rng("dropout"), p=keep_p, shape=(x.shape[0],)
             )
             keep = mask.astype(jnp.float32) / keep_p
         else:
-            keep = jnp.ones((x.shape[0],), jnp.float32)
+            keep = None
 
         if self.use_pallas and C <= 384:
             from ..ops.block_mlp import convnext_block_tail
@@ -100,6 +101,8 @@ class ConvNeXtBlock(nn.Module):
                 s, shortcut, keep, ln_g, ln_b, w1, b1, w2, b2, gamma,
                 interpret=self.pallas_interpret,
             ).astype(self.dtype)
+        if keep is None:
+            keep = jnp.ones((x.shape[0],), jnp.float32)
 
         # reference jnp path (identical math)
         u = _layer_norm_f32(s, ln_g, ln_b).astype(self.dtype)

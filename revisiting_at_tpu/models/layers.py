@@ -111,6 +111,50 @@ def blur_pool_2d(x: jax.Array) -> jax.Array:
     )
 
 
+class _RawConv(nn.Module):
+    """Conv with explicit params and MXU-friendly lowering.
+
+    Param layout matches nn.Conv (kernel HWIO + bias), and this module is
+    instantiated under the name "Conv_0" so param trees are byte-identical to
+    the nn.Conv-based ones.
+    """
+
+    features: int
+    kernel_size: tuple[int, int]
+    strides: tuple[int, int]
+    padding: str | Sequence[tuple[int, int]]
+    use_bias: bool
+    dtype: Dtype
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (kh, kw, cin, self.features), jnp.float32
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        x = x.astype(self.dtype)
+        k = kernel.astype(self.dtype)
+        b = bias.astype(self.dtype) if bias is not None else None
+
+        # NOTE: matmul reformulations of these convs (ops/conv_lowering.py:
+        # space-to-depth patchify, 3x3/s2 im2col) both measured SLOWER
+        # end-to-end on v5e than XLA's conv lowering (143 -> 153 ms/step; the
+        # reshape/transpose copies and strided-slice gradients outweigh the
+        # matmul gain). Kept there with tests as documented dead ends.
+        y = jax.lax.conv_general_dilated(
+            x, k, self.strides, self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + b if b is not None else y
+
+
 class Conv(nn.Module):
     """3x3/1x1/kxk conv wrapper: NHWC, f32 params, compute dtype configurable,
     optional BlurPool on strided convs (in_channels >= 16, reference main.py:808-813).
@@ -129,15 +173,15 @@ class Conv(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.use_blurpool and max(self.strides) > 1 and x.shape[-1] >= 16:
             x = blur_pool_2d(x)
-        return nn.Conv(
+        return _RawConv(
             features=self.features,
-            kernel_size=self.kernel_size,
-            strides=self.strides,
+            kernel_size=tuple(self.kernel_size),
+            strides=tuple(self.strides),
             padding=self.padding,
             use_bias=self.use_bias,
             dtype=self.dtype,
-            param_dtype=jnp.float32,
             kernel_init=self.kernel_init,
+            name="Conv_0",
         )(x)
 
 

@@ -238,17 +238,29 @@ def _vjp_bwd(m_tile, interpret, res, dy):
 block_mlp.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def pick_m_tile(M: int) -> int:
-    for cand in (2048, 1024, 784, 512, 448, 392, 256, 196, 128, 112, 98, 64, 49, 32, 16, 8):
+def pick_m_tile(M: int, C: int, H: int) -> int:
+    """Largest tile dividing M whose bwd-kernel VMEM footprint fits:
+    resident weights (bf16) + f32 grad accumulators + ~4 f32 H-wide and
+    ~4 f32 C-wide per-row temporaries, against a ~12 MB budget."""
+    fixed = 2 * C * H * 2 + 2 * C * H * 4  # w1/w2 bf16 + dw1/dw2 f32
+    per_row = 16 * H + 16 * C
+    cap = max(16, (12_000_000 - fixed) // per_row)
+    # Mosaic requires the sublane (2nd-minor) block dim to be a multiple of 8
+    # or equal to the array dim; search multiples of 8 dividing M, largest
+    # within the cap, else fall back to the whole axis.
+    best = None
+    for cand in range(8, min(M, int(cap)) + 1, 8):
         if M % cand == 0:
-            return cand
-    return M
+            best = cand
+    if best is not None:
+        return best
+    return M if M <= cap or M % 8 != 0 else 8
 
 
 def convnext_block_tail(
     s: jax.Array,  # dwconv output [B, Hs, Ws, C]
     r: jax.Array,  # block input (residual) [B, Hs, Ws, C]
-    keep: jax.Array,  # per-sample droppath scale [B] f32 (ones when inactive)
+    keep: jax.Array | None,  # per-sample droppath scale [B] f32; None = inactive
     ln_g: jax.Array, ln_b: jax.Array,
     w1: jax.Array, b1: jax.Array,
     w2: jax.Array, b2: jax.Array,
@@ -256,12 +268,23 @@ def convnext_block_tail(
     *,
     interpret: bool = False,
 ) -> jax.Array:
-    """NHWC wrapper around the fused block-tail kernel."""
+    """NHWC wrapper around the fused block-tail kernel.
+
+    keep=None (no DropPath — the paper's ConvNeXt-T recipe) flattens the
+    batch into one grid row so tiles are maximal: ~2.6x fewer grid steps."""
     B, Hs, Ws, C = s.shape
     M = Hs * Ws
+    if keep is None:
+        BM = B * M
+        y = block_mlp(
+            s.reshape(1, BM, C), r.reshape(1, BM, C), jnp.ones((1,), jnp.float32),
+            ln_g, ln_b, w1.astype(jnp.bfloat16), b1,
+            w2.astype(jnp.bfloat16), b2, gamma, pick_m_tile(BM, C, w1.shape[1]), interpret,
+        )
+        return y.reshape(B, Hs, Ws, C)
     y = block_mlp(
         s.reshape(B, M, C), r.reshape(B, M, C), keep.astype(jnp.float32),
         ln_g, ln_b, w1.astype(jnp.bfloat16), b1,
-        w2.astype(jnp.bfloat16), b2, gamma, pick_m_tile(M), interpret,
+        w2.astype(jnp.bfloat16), b2, gamma, pick_m_tile(M, C, w1.shape[1]), interpret,
     )
     return y.reshape(B, Hs, Ws, C)

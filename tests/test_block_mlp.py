@@ -45,12 +45,12 @@ class TestBlockMlpKernel:
         args = make_inputs()
         y_ref = ref_impl(*args)
         s = args[0]
-        y_k = block_mlp(*args, pick_m_tile(s.shape[1]), True)
+        y_k = block_mlp(*args, pick_m_tile(s.shape[1], s.shape[2], 4 * s.shape[2]), True)
         np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref), atol=2e-2, rtol=1e-2)
 
     def test_gradients_match(self):
         args = make_inputs(seed=1)
-        m_tile = pick_m_tile(args[0].shape[1])
+        m_tile = pick_m_tile(args[0].shape[1], args[0].shape[2], 4 * args[0].shape[2])
 
         def loss_k(*a):
             return jnp.sum(block_mlp(*a, m_tile, True) ** 2)
@@ -72,7 +72,7 @@ class TestBlockMlpKernel:
         # M not a multiple of any nice tile: pads internally
         args = make_inputs(B=1, M=24, C=16, seed=2)
         y_ref = ref_impl(*args)
-        y_k = block_mlp(*args, pick_m_tile(24), True)
+        y_k = block_mlp(*args, pick_m_tile(24, 16, 64), True)
         np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref), atol=2e-2, rtol=1e-2)
 
     def test_in_model_equivalence(self):
