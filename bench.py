@@ -79,7 +79,7 @@ def main() -> None:
         state, metrics = step_fn(state, images, labels)
     jax.block_until_ready(metrics["loss"])
 
-    n_steps = 10
+    n_steps = 20
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = step_fn(state, images, labels)
