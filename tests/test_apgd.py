@@ -221,3 +221,30 @@ class TestPgd:
 
 if __name__ == "__main__":
     sys.exit(pytest.main([__file__, "-x", "-q"]))
+
+
+class TestAdversarialModel:
+    """API-parity wrapper (reference WrappedModel, main.py:260-301)."""
+
+    def test_perturb_toggle_and_ball(self):
+        from revisiting_at_tpu.attacks import AdversarialModel
+        from revisiting_at_tpu.models import get_model
+
+        model, _ = get_model("convnext_micro", not_original=True, num_classes=7,
+                             dtype=jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                               train=False)
+        x = jnp.asarray(np.random.RandomState(0).uniform(0.1, 0.9, (4, 32, 32, 3)),
+                        jnp.float32)
+        y = jnp.arange(4) % 7
+        wrapped = AdversarialModel(model, variables, attack="apgd", eps=0.05, n_iter=2)
+
+        clean = wrapped(x)
+        wrapped.set_perturb(True)
+        adv_logits = wrapped(x, y, train=False)
+        assert adv_logits.shape == clean.shape
+        z = wrapped.perturb(x, y)
+        assert float(jnp.abs(z - x).max()) <= 0.05 + 1e-6
+        assert float(z.min()) >= 0 and float(z.max()) <= 1
+        wrapped.set_perturb(False)
+        np.testing.assert_allclose(np.asarray(wrapped(x)), np.asarray(clean))
