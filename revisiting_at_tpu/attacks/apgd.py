@@ -112,8 +112,11 @@ def apgd_attack(
         elif norm == "L2":
             t = jax.random.normal(rng, x.shape, jnp.float32)
             x_adv = x + eps * t / (l2_norm(t, keepdims=True) + 1e-12)
-        else:  # L1: start at x (AA does a sparse random init; clean is valid too)
-            x_adv = x
+        else:  # L1: random point projected into the ball — the exact-L1
+            # projection soft-thresholds, so the init is sparse (AutoAttack's
+            # autopgd_base L1 init: x + t + L1_projection(x, t, eps))
+            t = jax.random.normal(rng, x.shape, jnp.float32)
+            x_adv = x + t + l1_projection(x, t, eps)
     else:
         x_adv = x
     x_adv = jnp.clip(x_adv, 0.0, 1.0)

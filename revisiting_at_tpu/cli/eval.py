@@ -31,6 +31,9 @@ def get_args(argv=None):
     p.add_argument("--full_aa", type=int, default=0)
     p.add_argument("--img_size", type=int, default=224)
     p.add_argument("--data_dir", type=str, default="")
+    p.add_argument("--synthetic", action="store_true",
+                   help="explicitly evaluate on random synthetic images "
+                        "(smoke tests only — numbers are meaningless)")
     p.add_argument("--only_clean", action="store_true")
     p.add_argument("--use_ema", type=int, default=0)
     p.add_argument("--save_imgs", action="store_true")
@@ -44,7 +47,8 @@ def get_args(argv=None):
 
 def load_eval_set(args, num_classes: int):
     """Fixed val subset: resize(/0.875)+center-crop at img_size
-    (AA_eval.py:104-117). Falls back to synthetic when no data_dir."""
+    (AA_eval.py:104-117). Synthetic data requires the explicit --synthetic
+    flag — robust accuracy on random pixels is not a result."""
     if args.data_dir:
         from ..data.folder import FolderConfig, make_folder_dataset
 
@@ -68,6 +72,13 @@ def load_eval_set(args, num_classes: int):
         x = np.concatenate(xs)[: args.n_ex].astype(np.float32) / 255.0
         y = np.concatenate(ys)[: args.n_ex].astype(np.int64)
         return x, y
+    if not args.synthetic:
+        raise SystemExit(
+            "no --data_dir given: pass --data_dir /path/to/val for a real "
+            "evaluation, or --synthetic to explicitly run on random images "
+            "(smoke test only)"
+        )
+    print("WARNING: --synthetic evaluation — accuracies below are meaningless")
     rng = np.random.RandomState(0)
     x = rng.uniform(0, 1, size=(args.n_ex, args.img_size, args.img_size, 3)).astype(
         np.float32

@@ -31,34 +31,51 @@ def main(argv=None):
 
         jax.distributed.initialize()
 
-    train_data = val_data = None
+    if cfg.data.dataset not in ("folder", "synthetic"):
+        raise SystemExit(
+            f"unknown data.dataset={cfg.data.dataset!r}: supported values are "
+            "'folder' (ImageFolder layout via tf.data) and 'synthetic'"
+        )
+
+    train_data = val_data = train_data_factory = None
     if cfg.data.dataset == "folder" and cfg.data.train_dataset:
         import jax
 
         from ..data.folder import FolderConfig, make_folder_dataset
 
-        train_iter_fn, n_train = make_folder_dataset(
-            FolderConfig(
-                root=cfg.data.train_dataset,
-                resolution=cfg.resolution.max_res,
-                batch_size=cfg.training.batch_size,
-                is_train=True,
-                seed=cfg.data.seed,
-                num_parallel=cfg.data.num_workers,
-                subset_size=cfg.data.subset_size,
-            ),
-            jax.process_index(),
-            jax.process_count(),
+        def train_data_factory(res: int):
+            """Rebuild the train pipeline at a new resolution (the reference's
+            resolution ramp re-sizes the decoder output, main.py:714-718)."""
+            it_fn, n = make_folder_dataset(
+                FolderConfig(
+                    root=cfg.data.train_dataset,
+                    resolution=res,
+                    batch_size=cfg.training.batch_size,
+                    is_train=True,
+                    seed=cfg.data.seed,
+                    num_parallel=cfg.data.num_workers,
+                    subset_size=cfg.data.subset_size,
+                ),
+                jax.process_index(),
+                jax.process_count(),
+            )
+
+            class _Wrap:
+                def __len__(self):
+                    return n
+
+                def __iter__(self):
+                    return iter(it_fn())
+
+            return _Wrap()
+
+        train_data = train_data_factory(
+            # start at the ramp's initial resolution (constant max_res in the
+            # paper recipe where min_res == max_res)
+            cfg.resolution.min_res
+            if cfg.resolution.min_res < cfg.resolution.max_res
+            else cfg.resolution.max_res
         )
-
-        class _Wrap:
-            def __len__(self):
-                return n_train
-
-            def __iter__(self):
-                return iter(train_iter_fn())
-
-        train_data = _Wrap()
         if cfg.data.val_dataset:
             val_iter_fn, n_val = make_folder_dataset(
                 FolderConfig(
@@ -83,7 +100,10 @@ def main(argv=None):
 
     from ..train.trainer import Trainer
 
-    trainer = Trainer(cfg, train_data=train_data, val_data=val_data)
+    trainer = Trainer(
+        cfg, train_data=train_data, val_data=val_data,
+        train_data_factory=train_data_factory,
+    )
     if cfg.model.ckpt_path:
         trainer.try_resume()
     if cfg.training.eval_only:

@@ -45,7 +45,7 @@ class DataSection:
     in_memory: int = 1
     seed: int = 0
     augmentations: int = 0
-    dataset: str = "folder"  # 'folder' | 'synthetic' | 'tfds'
+    dataset: str = "folder"  # 'folder' | 'synthetic'
     num_classes: int = 1000
     subset_size: int = 0  # >0: truncate train set (small-subset configs)
 

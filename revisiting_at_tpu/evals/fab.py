@@ -112,12 +112,50 @@ def _proj_hyperplane_box_l2(t: Array, w: Array, b: Array, n_bisect: int = 40) ->
     return jnp.where(violation[:, None] > 0, delta, jnp.zeros_like(delta))
 
 
+def _proj_hyperplane_box_l1(t: Array, w: Array, b: Array) -> Array:
+    """delta minimizing ||delta||_1 s.t. t+delta ∈ [0,1]^d, w·(t+delta) <= b.
+
+    LP whose optimum concentrates mass on the largest-|w| coordinates:
+    moving coordinate i toward the feasible side reduces w·z at rate |w_i|
+    per unit of L1 budget, bounded by the box room r_i. Greedily saturate
+    coordinates in decreasing |w_i| order until the violation is paid off,
+    with a partial move on the crossing coordinate — expressed as one sort +
+    cumsum + rank threshold (no host control flow; completes the reference
+    capability of FAB-T under L1, AA_eval.py:33 eps=75).
+    """
+    violation = jnp.sum(w * t, axis=1) - b  # > 0 means infeasible
+    aw = jnp.abs(w)
+    # room before hitting the box when moving against w
+    room = jnp.where(w > 0, t, 1.0 - t)
+    cap = aw * room  # per-coordinate w·z reduction capacity
+
+    order = jnp.argsort(-aw, axis=1)
+    cap_sorted = jnp.take_along_axis(cap, order, axis=1)
+    cum = jnp.cumsum(cap_sorted, axis=1)
+    cum_prev = cum - cap_sorted
+
+    v = violation[:, None]
+    full = cum <= v  # fully saturated coordinates (in sorted order)
+    residual = jnp.clip(v - cum_prev, 0.0, cap_sorted)
+    # magnitude of the move in sorted order: full room, or partial residual/|w|
+    aw_sorted = jnp.take_along_axis(aw, order, axis=1)
+    room_sorted = jnp.take_along_axis(room, order, axis=1)
+    mag_sorted = jnp.where(full, room_sorted, residual / jnp.maximum(aw_sorted, 1e-12))
+
+    inv = jnp.argsort(order, axis=1)
+    mag = jnp.take_along_axis(mag_sorted, inv, axis=1)
+    delta = -jnp.sign(w) * mag
+    return jnp.where(violation[:, None] > 0, delta, jnp.zeros_like(delta))
+
+
 def _project(t, w, b, norm):
     if norm == "Linf":
         return _proj_hyperplane_box_linf(t, w, b)
     if norm == "L2":
         return _proj_hyperplane_box_l2(t, w, b)
-    raise NotImplementedError(f"FAB projection for {norm} not implemented yet")
+    if norm == "L1":
+        return _proj_hyperplane_box_l1(t, w, b)
+    raise ValueError(f"unknown norm {norm!r}")
 
 
 def _dist(a: Array, b: Array, norm: str) -> Array:
@@ -175,6 +213,9 @@ def fab_attack_single_target(
         if norm == "Linf":
             a1 = jnp.max(jnp.abs(d1), axis=1)
             a2 = jnp.max(jnp.abs(d2), axis=1)
+        elif norm == "L1":
+            a1 = jnp.sum(jnp.abs(d1), axis=1)
+            a2 = jnp.sum(jnp.abs(d2), axis=1)
         else:
             a1 = jnp.sqrt(jnp.sum(d1 * d1, axis=1))
             a2 = jnp.sqrt(jnp.sum(d2 * d2, axis=1))

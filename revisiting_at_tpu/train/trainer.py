@@ -224,8 +224,8 @@ class Trainer:
             top1, _ = self.eval_step(self.state, images, labels)
             correct += int(top1)
             total += labels.shape[0]
-            if i >= self.cfg.validation.max_batches:
-                break
+            if i + 1 >= self.cfg.validation.max_batches:
+                break  # cap at max_batches processed (main.py:928-929)
         acc = correct / max(total, 1)
         return acc, total
 

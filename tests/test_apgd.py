@@ -77,6 +77,40 @@ class TestApgdInvariants:
         res = apgd_attack(fn, jnp.asarray(x), jnp.asarray(y), norm="Linf", eps=0.05, n_iter=10)
         assert bool(jnp.all(res.loss_best >= li0 - 1e-6))
 
+    @pytest.mark.parametrize("norm,eps", [("Linf", 0.03), ("L2", 1.0), ("L1", 12.0)])
+    def test_random_start_in_ball(self, norm, eps):
+        # eval-flavour init: random point inside the ball∩box; for L1 the
+        # exact projection makes the init sparse (AutoAttack's L1 init)
+        x, y, w, b = make_problem(4)
+        res = apgd_attack(
+            jax_logits_fn(w, b), jnp.asarray(x), jnp.asarray(y),
+            norm=norm, eps=eps, n_iter=3, is_train=False,
+            rng=jax.random.PRNGKey(0), random_start=True,
+        )
+        delta = np.asarray(res.x_best) - x
+        assert np.asarray(res.x_best).min() >= -1e-6
+        assert np.asarray(res.x_best).max() <= 1 + 1e-6
+        if norm == "Linf":
+            assert np.abs(delta).max() <= eps + 1e-6
+        elif norm == "L2":
+            assert float(l2_norm(jnp.asarray(delta)).max()) <= eps + 1e-4
+        else:
+            assert float(l1_norm(jnp.asarray(delta)).max()) <= eps + 1e-3
+
+    def test_l1_random_start_is_sparse_and_random(self):
+        x, y, w, b = make_problem(5)
+        from revisiting_at_tpu.ops.norms import l1_projection
+
+        t = jax.random.normal(jax.random.PRNGKey(1), x.shape, jnp.float32)
+        x0 = np.asarray(jnp.asarray(x) + t + l1_projection(jnp.asarray(x), t, 12.0))
+        delta = x0 - x
+        # soft-thresholding leaves most coordinates exactly at zero
+        frac_nonzero = (np.abs(delta.reshape(BS, -1)) > 1e-9).mean()
+        assert frac_nonzero < 0.5
+        assert (np.abs(delta.reshape(BS, -1)).sum(-1) <= 12.0 + 1e-3).all()
+        # and it is not the clean point
+        assert np.abs(delta).max() > 1e-3
+
     def test_jits_cleanly(self):
         x, y, w, b = make_problem(3)
         fn = jax_logits_fn(w, b)

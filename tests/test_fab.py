@@ -9,6 +9,7 @@ import jax
 import jax.numpy as jnp
 
 from revisiting_at_tpu.evals.fab import (
+    _proj_hyperplane_box_l1,
     _proj_hyperplane_box_l2,
     _proj_hyperplane_box_linf,
     fab_attack_targeted,
@@ -72,6 +73,48 @@ class TestProjections:
                 assert ratio.std() / (abs(ratio.mean()) + 1e-9) < 0.05
 
 
+class TestL1Projection:
+    def test_l1_feasible_and_zero_when_feasible(self):
+        t, w, b = rand_problem(seed=7)
+        delta = np.asarray(
+            _proj_hyperplane_box_l1(jnp.asarray(t), jnp.asarray(w), jnp.asarray(b))
+        )
+        z = t + delta
+        assert z.min() >= -1e-6 and z.max() <= 1 + 1e-6
+        viol_before = (w * t).sum(-1) - b
+        viol_after = (w * z).sum(-1) - b
+        # reachable rows satisfy the constraint; unreachable ones saturate
+        room = np.where(w > 0, t, 1.0 - t)
+        reachable = (np.abs(w) * room).sum(-1) >= viol_before
+        assert (viol_after[reachable] <= 1e-3).all()
+        np.testing.assert_allclose(delta[viol_before <= 0], 0.0)
+
+    def test_l1_optimality_vs_lp(self):
+        # exact LP check: min ||delta||_1 s.t. t+delta in [0,1]^d, w.(t+delta)<=b
+        from scipy.optimize import linprog
+
+        t, w, b = rand_problem(bs=10, d=16, seed=8)
+        delta = np.asarray(
+            _proj_hyperplane_box_l1(jnp.asarray(t), jnp.asarray(w), jnp.asarray(b))
+        )
+        d = t.shape[1]
+        for i in range(10):
+            viol = (w[i] * t[i]).sum() - b[i]
+            if viol <= 0:
+                continue
+            # variables [p; q], delta = p - q, p,q >= 0
+            c = np.ones(2 * d)
+            A_ub = np.concatenate([w[i], -w[i]])[None, :]
+            b_ub = np.array([b[i] - (w[i] * t[i]).sum()])
+            bounds = [(0, 1 - t[i][j]) for j in range(d)] + [
+                (0, t[i][j]) for j in range(d)
+            ]
+            res = linprog(c, A_ub=A_ub, b_ub=b_ub, bounds=bounds, method="highs")
+            assert res.success, (i, res.message)
+            got = np.abs(delta[i]).sum()
+            assert got <= res.fun + 1e-4, (i, got, res.fun)
+
+
 class TestFabAttack:
     def test_finds_min_norm_adversarial_on_linear_model(self):
         rng = np.random.RandomState(4)
@@ -97,6 +140,25 @@ class TestFabAttack:
         assert np.abs(x_adv - x).max() <= 0.15 + 1e-5
         # unsuccessful points return clean x
         np.testing.assert_allclose(x_adv[~success], x[~success])
+
+    def test_l1_variant_runs(self):
+        rng = np.random.RandomState(6)
+        wm = (rng.randn(48, 7) * 0.8).astype(np.float32)
+        wj = jnp.asarray(wm)
+        fn = lambda xa: xa.reshape(xa.shape[0], -1) @ wj
+        x = rng.uniform(0.2, 0.8, size=(8, 4, 4, 3)).astype(np.float32)
+        y = (x.reshape(8, -1) @ wm).argmax(-1).astype(np.int64)
+        targets = ((y + 1) % 7)[:, None].astype(np.int64)
+        x_adv, success = fab_attack_targeted(
+            fn, jnp.asarray(x), jnp.asarray(y), jnp.asarray(targets),
+            norm="L1", eps=5.0, n_iter=20,
+        )
+        x_adv, success = np.asarray(x_adv), np.asarray(success)
+        assert np.abs(x_adv - x).reshape(8, -1).sum(-1).max() <= 5.0 + 1e-3
+        assert x_adv.min() >= -1e-6 and x_adv.max() <= 1 + 1e-6
+        if success.any():
+            pred = np.asarray(fn(jnp.asarray(x_adv))).argmax(-1)
+            assert (pred[success] != y[success]).all()
 
     def test_l2_variant_runs(self):
         rng = np.random.RandomState(5)
