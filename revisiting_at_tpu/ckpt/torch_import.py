@@ -203,6 +203,180 @@ def to_param_tree(flat: dict[str, np.ndarray], target_params: Any) -> Any:
     return flax.traverse_util.unflatten_dict(out, sep="/")
 
 
+def merge_param_tree(flat: dict[str, np.ndarray], target_params: Any) -> tuple[Any, dict]:
+    """Partial merge: overwrite target leaves present in `flat` (with shape
+    check), keep the rest at their current (random-init) values. Returns
+    (params, report{loaded, kept_random, dropped_source}).
+
+    This is the pretrained-init semantic of the reference: timm weights load
+    the backbone, then `not_original` replaces the stem with a FRESH random
+    ConvStem (utils_architecture.py:242-251) — so a pretrained init must
+    tolerate target keys with no source counterpart and vice versa."""
+    import flax
+    import jax.numpy as jnp
+
+    tgt_flat = flax.traverse_util.flatten_dict(target_params, sep="/")
+    out = {}
+    loaded, kept = [], []
+    for k, tgt in tgt_flat.items():
+        v = flat.get(k)
+        if v is not None and int(np.prod(v.shape)) == int(np.prod(tgt.shape)):
+            out[k] = jnp.asarray(v.reshape(tgt.shape), tgt.dtype)
+            loaded.append(k)
+        else:
+            out[k] = tgt
+            kept.append(k)
+    report = {
+        "loaded": loaded,
+        "kept_random": kept,
+        "dropped_source": sorted(set(flat) - set(tgt_flat)),
+    }
+    return flax.traverse_util.unflatten_dict(out, sep="/"), report
+
+
+def load_timm_pretrained(path: str, model_name: str, target_params: Any) -> tuple[Any, dict]:
+    """Initialize params from a LOCAL timm pretrained checkpoint.
+
+    Reference semantics (`get_new_model(pretrained=True)`,
+    utils_architecture.py:225-322): timm downloads ImageNet(-21k-ft-1k)
+    weights at model build; with `not_original` the pretrained patchify stem
+    is then discarded for a fresh random ConvStem. This environment has no
+    network egress, so the weights must be a local file (timm .pt/.pth/.bin
+    state_dict, optionally wrapped in {'model': ...} / {'state_dict': ...}).
+
+    Returns (params, report). Raises if the file loads but nothing matches
+    (wrong architecture)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    for wrapper in ("model", "state_dict", "model_state_dict"):
+        if isinstance(sd, dict) and wrapper in sd and isinstance(sd[wrapper], dict):
+            sd = sd[wrapper]
+    # map with the ORIGINAL stem layout: a pretrained timm checkpoint always
+    # has the patchify stem; ConvStem targets simply keep their random init
+    if model_name.startswith("convnext"):
+        flat = convnext_from_torch_partial(sd)
+    elif model_name.startswith(("vit", "deit")):
+        flat = vit_from_torch_partial(sd)
+    else:
+        raise ValueError(f"no timm pretrained mapping for {model_name!r}")
+    params, report = merge_param_tree(flat, target_params)
+    if not report["loaded"]:
+        raise ValueError(
+            f"pretrained checkpoint {path} matched no parameters of "
+            f"{model_name} — wrong file or architecture"
+        )
+    return params, report
+
+
+def convnext_from_torch_partial(sd: Mapping[str, Any]) -> dict[str, np.ndarray]:
+    """Like convnext_from_torch but tolerant of missing keys (pretrained
+    checkpoints may lack e.g. `gamma` or use other head namings)."""
+    try:
+        return convnext_from_torch(sd, not_original=False)
+    except KeyError:
+        pass
+    # fall back: map key-by-key, skipping anything unknown
+    sd = strip_prefixes(sd)
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k == "stem.0.weight":
+            out["stem/proj/Conv_0/kernel"] = _conv(v)
+        elif k == "stem.0.bias":
+            out["stem/proj/Conv_0/bias"] = v
+        elif k == "stem.1.weight":
+            out["stem/norm/LayerNorm_0/scale"] = v
+        elif k == "stem.1.bias":
+            out["stem/norm/LayerNorm_0/bias"] = v
+        elif k.startswith("stages."):
+            parts = k.split(".")
+            s = int(parts[1])
+            if parts[2] == "downsample" and parts[3] in ("0", "1"):
+                if parts[3] == "0":
+                    key = "scale" if parts[4] == "weight" else "bias"
+                    out[f"downsample_norm{s}/LayerNorm_0/{key}"] = v
+                elif parts[4] == "weight":
+                    out[f"downsample_conv{s}/Conv_0/kernel"] = _conv(v)
+                else:
+                    out[f"downsample_conv{s}/Conv_0/bias"] = v
+            elif parts[2] == "blocks":
+                b = int(parts[3])
+                dst = f"stage{s}_block{b}"
+                rest = ".".join(parts[4:])
+                m = {
+                    "conv_dw.weight": ("dwconv_kernel", _dwconv),
+                    "conv_dw.bias": ("dwconv_bias", None),
+                    "norm.weight": ("norm_scale", None),
+                    "norm.bias": ("norm_bias", None),
+                    "mlp.fc1.weight": ("pwconv1_kernel", _lin),
+                    "mlp.fc1.bias": ("pwconv1_bias", None),
+                    "mlp.fc2.weight": ("pwconv2_kernel", _lin),
+                    "mlp.fc2.bias": ("pwconv2_bias", None),
+                    "gamma": ("gamma", None),
+                }.get(rest)
+                if m is not None:
+                    name, fn = m
+                    out[f"{dst}/{name}"] = fn(v) if fn else v
+        elif k in ("head.norm.weight", "norm.weight"):
+            out["head_norm/LayerNorm_0/scale"] = v
+        elif k in ("head.norm.bias", "norm.bias"):
+            out["head_norm/LayerNorm_0/bias"] = v
+        elif k in ("head.fc.weight", "head.weight"):
+            out["head/kernel"] = _lin(v)
+        elif k in ("head.fc.bias", "head.bias"):
+            out["head/bias"] = v
+    return out
+
+
+def vit_from_torch_partial(sd: Mapping[str, Any]) -> dict[str, np.ndarray]:
+    try:
+        return vit_from_torch(sd, not_original=False)
+    except KeyError:
+        pass
+    sd = strip_prefixes(sd)
+    out: dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k in ("cls_token", "pos_embed"):
+            out[k] = v
+        elif k == "patch_embed.proj.weight":
+            out["patch_embed/proj/Conv_0/kernel"] = _conv(v)
+        elif k == "patch_embed.proj.bias":
+            out["patch_embed/proj/Conv_0/bias"] = v
+        elif k.startswith("blocks."):
+            parts = k.split(".")
+            i = int(parts[1])
+            dst = f"block{i}"
+            rest = ".".join(parts[2:])
+            m = {
+                "norm1.weight": (f"{dst}/norm1/LayerNorm_0/scale", None),
+                "norm1.bias": (f"{dst}/norm1/LayerNorm_0/bias", None),
+                "attn.qkv.weight": (f"{dst}/attn/qkv/kernel", _lin),
+                "attn.qkv.bias": (f"{dst}/attn/qkv/bias", None),
+                "attn.proj.weight": (f"{dst}/attn/proj/kernel", _lin),
+                "attn.proj.bias": (f"{dst}/attn/proj/bias", None),
+                "norm2.weight": (f"{dst}/norm2/LayerNorm_0/scale", None),
+                "norm2.bias": (f"{dst}/norm2/LayerNorm_0/bias", None),
+                "mlp.fc1.weight": (f"{dst}/mlp/fc1/kernel", _lin),
+                "mlp.fc1.bias": (f"{dst}/mlp/fc1/bias", None),
+                "mlp.fc2.weight": (f"{dst}/mlp/fc2/kernel", _lin),
+                "mlp.fc2.bias": (f"{dst}/mlp/fc2/bias", None),
+                "ls1.gamma": (f"{dst}/ls1", None),
+                "ls2.gamma": (f"{dst}/ls2", None),
+            }.get(rest)
+            if m is not None:
+                name, fn = m
+                out[name] = fn(v) if fn else v
+        elif k == "norm.weight":
+            out["norm/LayerNorm_0/scale"] = v
+        elif k == "norm.bias":
+            out["norm/LayerNorm_0/bias"] = v
+        elif k == "head.weight":
+            out["head/kernel"] = _lin(v)
+        elif k == "head.bias":
+            out["head/bias"] = v
+    return out
+
+
 def load_torch_checkpoint(path: str, model_name: str, target_params: Any,
                           *, not_original: bool = False) -> Any:
     """Load a reference .pt checkpoint file into our param tree."""

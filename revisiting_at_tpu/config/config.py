@@ -19,6 +19,9 @@ from typing import Any, get_type_hints
 class ModelSection:
     arch: str = "convnext_tiny"
     pretrained: int = 0
+    # local timm checkpoint for pretrained init (this environment has no
+    # network egress; the reference downloads via timm, utils_architecture.py:242)
+    pretrained_path: str = ""
     ckpt_path: str = ""
     add_normalization: int = 1
     not_original: int = 0

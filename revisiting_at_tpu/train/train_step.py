@@ -36,6 +36,16 @@ from .ema import ema_update
 from .state import TrainState
 
 
+def to_unit_pixels(images: jax.Array) -> jax.Array:
+    """Canonical [0,1] float pixels. uint8 batches (the tf.data folder
+    pipeline ships uint8 — 4x cheaper host->device) are scaled by 1/255;
+    float batches are assumed already in [0,1] (reference contract:
+    ToTensor only, no normalize, dataset_convnext_like.py:60-61)."""
+    if images.dtype == jnp.uint8:
+        return images.astype(jnp.float32) / 255.0
+    return images.astype(jnp.float32)
+
+
 @dataclasses.dataclass(frozen=True)
 class AdvConfig:
     """Mirror of the reference 'adv' config section (main.py:180-189)."""
@@ -90,7 +100,7 @@ def make_train_step(
         else:
             k_mix, k_attack, k_drop = jax.random.split(rng, 3)
 
-        images = images.astype(jnp.float32)
+        images = to_unit_pixels(images)
         if mixup is not None:
             images, targets = mixup_cutmix(k_mix, images, labels, mixup)
         else:
@@ -225,7 +235,7 @@ def make_eval_step(model, *, lr_tta: bool = False, use_ema: bool = False):
 
     def eval_fn(state: TrainState, images: jax.Array, labels: jax.Array):
         variables = state.ema_variables() if use_ema else state.variables()
-        logits = model.apply(variables, images.astype(jnp.float32), train=False)
+        logits = model.apply(variables, to_unit_pixels(images), train=False)
         if lr_tta:
             logits = logits + model.apply(variables, images[:, :, ::-1, :], train=False)
         top1 = jnp.argmax(logits, -1) == labels

@@ -79,6 +79,30 @@ class Trainer:
         params = variables["params"]
         batch_stats = variables.get("batch_stats")
 
+        # pretrained init (reference get_new_model(pretrained=True); the 21k
+        # zoo entries are 21k-pretrained-ft-1k timm weights and are
+        # meaningless from random init, utils_architecture.py:247,295)
+        wants_pretrained = bool(cfg.model.pretrained) or cfg.model.arch.endswith("_21k")
+        if wants_pretrained:
+            if not cfg.model.pretrained_path:
+                raise ValueError(
+                    f"model.pretrained=1 (or a *_21k arch, {cfg.model.arch!r}) needs "
+                    "model.pretrained_path pointing at a local timm checkpoint: this "
+                    "environment cannot download weights (reference: timm fetches "
+                    "them, utils_architecture.py:242-295)"
+                )
+            from ..ckpt.torch_import import load_timm_pretrained
+
+            params, report = load_timm_pretrained(
+                cfg.model.pretrained_path, cfg.model.arch, params
+            )
+            print(
+                f"pretrained init from {cfg.model.pretrained_path}: "
+                f"{len(report['loaded'])} tensors loaded, "
+                f"{len(report['kept_random'])} kept at random init "
+                f"(e.g. {report['kept_random'][:3]})"
+            )
+
         # data
         self.train_data = train_data
         self.val_data = val_data
@@ -213,14 +237,32 @@ class Trainer:
         self.logger.log({"event": "resume", "epoch": epoch})
         return True
 
+    # ------------------------------------------------------------- batching
+    def _put_batch(self, images, labels):
+        """Place a PER-PROCESS batch onto the mesh. Under multi-host each
+        process contributes its shard of the global batch, so in-step
+        reductions (grad psum, val top1 sums) are GLOBAL — the torchmetrics
+        dist_reduce_fx='sum' capability (reference main.py:1155-1167)."""
+        images = jnp.asarray(images)
+        labels = jnp.asarray(labels)
+        if jax.process_count() > 1:
+            images = jax.make_array_from_process_local_data(self.batch_sharding, images)
+            labels = jax.make_array_from_process_local_data(self.batch_sharding, labels)
+        else:
+            images = jax.device_put(images, self.batch_sharding)
+            labels = jax.device_put(labels, self.batch_sharding)
+        return images, labels
+
     # ---------------------------------------------------------- validation
     def single_val(self) -> tuple[float, int]:
-        """Clean accuracy on <=max_batches val batches (main.py:897-939)."""
+        """Clean accuracy on <=max_batches val batches (main.py:897-939).
+        `correct` and `total` are global under multi-host: eval_step sums
+        top1 over the globally-sharded batch, and labels.shape[0] is the
+        global batch size of the assembled array."""
         correct = 0
         total = 0
         for i, (images, labels) in enumerate(self.val_data):
-            images = jax.device_put(jnp.asarray(images), self.batch_sharding)
-            labels = jax.device_put(jnp.asarray(labels), self.batch_sharding)
+            images, labels = self._put_batch(images, labels)
             top1, _ = self.eval_step(self.state, images, labels)
             correct += int(top1)
             total += labels.shape[0]
@@ -244,13 +286,11 @@ class Trainer:
                                  "dir": str(self.logger.dir / "trace")})
                 profile_steps = 0
             images = jnp.asarray(images)
-            labels = jnp.asarray(labels)
             if self.use_randaug:
                 images = augment_batch(
                     jax.random.fold_in(aug_rng, ix), images, RandAugmentConfig()
                 )
-            images = jax.device_put(images, self.batch_sharding)
-            labels = jax.device_put(labels, self.batch_sharding)
+            images, labels = self._put_batch(images, labels)
             self.state, metrics = self.train_step(self.state, images, labels)
             losses.append(metrics["loss"])
         mean_loss = float(jnp.mean(jnp.stack(losses)))

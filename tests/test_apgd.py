@@ -175,6 +175,78 @@ class TestApgdGoldenParity:
         np.testing.assert_allclose(xb_j, xb_t, atol=2e-5)
         np.testing.assert_allclose(lb_j, lb_t, atol=1e-4)
 
+    def test_eval_schedule_parity_100_iter(self):
+        """Eval-flavour APGD = 100 iterations: pins the full checkpoint
+        cascade (windows 22,19,16,13,10,7,6,... -> checkpoints at
+        22,41,57,70,80,87,93,99) that AutoAttack's eval APGD uses — the
+        reference apgd_train implements the same schedule (:151-157)."""
+        (xb_t, acc_t, lb_t, xba_t), (xb_j, acc_j, lb_j, xba_j) = self._run_both(
+            "Linf", 0.03, 100, seed=10
+        )
+        np.testing.assert_allclose(xb_j, xb_t, atol=5e-5)
+        np.testing.assert_array_equal(acc_j, acc_t.astype(bool))
+        np.testing.assert_allclose(lb_j, lb_t, atol=2e-4)
+        np.testing.assert_allclose(xba_j, xba_t, atol=5e-5)
+
+    def test_eval_l1_topk_parity(self):
+        """is_train=False flips the L1 sparsity init to 0.2 (reference :162)."""
+        sys.path.insert(0, REFERENCE_DIR)
+        import torch
+        from autopgd_train_clean import apgd_train as ref_apgd
+
+        x, y, w, b = make_problem(11)
+        model = torch_model(w, b)
+        xb_t, _, lb_t, _ = ref_apgd(
+            model, torch.from_numpy(x), torch.from_numpy(y),
+            norm="L1", eps=12.0, n_iter=25, loss="ce", is_train=False,
+        )
+        res = apgd_attack(
+            jax_logits_fn(w, b), jnp.asarray(x), jnp.asarray(y),
+            norm="L1", eps=12.0, n_iter=25, loss="ce", is_train=False,
+        )
+        np.testing.assert_allclose(np.asarray(res.x_best), xb_t.detach().numpy(), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(res.loss_best), lb_t.detach().numpy(), atol=5e-4)
+
+    @pytest.mark.parametrize("n_iter", [5, 100])
+    def test_dlr_targeted_parity(self, n_iter):
+        """APGD-T's loss (AutoAttack's targeted flavour): bind y_target into
+        the reference criterion_dict and compare full iterate trajectories."""
+        sys.path.insert(0, REFERENCE_DIR)
+        import torch
+        import autopgd_train_clean as ref_mod
+
+        x, y, w, b = make_problem(12)
+        rng = np.random.RandomState(13)
+        # a target class != y per sample (AA uses 2nd..10th most likely)
+        y_t = ((y + 1 + rng.randint(0, NCLS - 1, size=BS)) % NCLS).astype(np.int64)
+        yt_torch = torch.from_numpy(y_t)
+        key = "dlr-targeted-bound"
+        ref_mod.criterion_dict[key] = lambda logits, yy: ref_mod.dlr_loss_targeted(
+            logits, yy, yt_torch
+        )
+        try:
+            model = torch_model(w, b)
+            xb_t, acc_t, lb_t, xba_t = ref_mod.apgd_train(
+                model, torch.from_numpy(x), torch.from_numpy(y),
+                norm="Linf", eps=0.03, n_iter=n_iter, loss=key,
+            )
+        finally:
+            del ref_mod.criterion_dict[key]
+        res = apgd_attack(
+            jax_logits_fn(w, b), jnp.asarray(x), jnp.asarray(y),
+            norm="Linf", eps=0.03, n_iter=n_iter, loss="dlr-targeted",
+            y_target=jnp.asarray(y_t),
+        )
+        np.testing.assert_allclose(np.asarray(res.x_best), xb_t.detach().numpy(), atol=5e-5)
+        np.testing.assert_array_equal(np.asarray(res.acc), acc_t.numpy().astype(bool))
+        np.testing.assert_allclose(np.asarray(res.loss_best), lb_t.detach().numpy(), atol=2e-4)
+        # x_best_adv ("last flipped point") accumulates f32 op-ordering drift
+        # over 100 chaotic iterations; a handful of elements reach ~3e-4
+        np.testing.assert_allclose(
+            np.asarray(res.x_best_adv), xba_t.detach().numpy(),
+            atol=5e-5 if n_iter <= 5 else 5e-4,
+        )
+
     def test_soft_targets_parity(self):
         """Mixup path: y is a soft-target matrix, CE handles it (main.py:965-966)."""
         sys.path.insert(0, REFERENCE_DIR)

@@ -78,6 +78,63 @@ class TestSquare:
         clean_correct = (np.asarray(fn(jnp.asarray(x))).argmax(-1) == y).mean()
         assert np.asarray(acc).mean() < clean_correct
 
+    def test_p_selection_matches_published_schedule(self):
+        """Golden table: the official Square-attack square-size schedule
+        (Andriushchenko et al. 2020, p_selection with raw-iteration
+        milestones, as used by AutoAttack with n_queries=5000)."""
+        from revisiting_at_tpu.evals.square import _p_selection
+
+        def official(p_init, it):
+            if 10 < it <= 50:
+                return p_init / 2
+            elif 50 < it <= 200:
+                return p_init / 4
+            elif 200 < it <= 500:
+                return p_init / 8
+            elif 500 < it <= 1000:
+                return p_init / 16
+            elif 1000 < it <= 2000:
+                return p_init / 32
+            elif 2000 < it <= 4000:
+                return p_init / 64
+            elif 4000 < it <= 6000:
+                return p_init / 128
+            elif 6000 < it <= 8000:
+                return p_init / 256
+            elif 8000 < it:
+                return p_init / 512
+            return p_init
+
+        its = list(range(0, 60)) + [199, 200, 201, 499, 500, 501, 999, 1000,
+                                    1001, 1999, 2000, 2001, 3999, 4000, 4001,
+                                    5999, 6000, 6001, 7999, 8000, 8001, 9999]
+        got = np.asarray(jax.vmap(lambda i: _p_selection(0.8, i))(jnp.asarray(its)))
+        want = np.asarray([official(0.8, i) for i in its], np.float32)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_square_accept_rate_and_monotone_loss(self):
+        """Distribution-level check: the accepted-candidate rate is in a sane
+        band early on, and more queries never hurt (margin monotonicity)."""
+        fn = make_model(seed=7)
+        x, y = make_data(n=32, seed=8)
+        xj, yj = jnp.asarray(x), jnp.asarray(y)
+        k = jax.random.PRNGKey(3)
+
+        def margins(n_q):
+            # eps small enough that some points survive the first queries and
+            # stay active (frozen points can't improve by design)
+            x_adv, _ = square_attack(fn, xj, yj, eps=0.005, n_queries=n_q, rng=k)
+            logits = np.array(fn(jnp.asarray(x_adv)))
+            zy = logits[np.arange(len(y)), y]
+            logits[np.arange(len(y)), y] = -np.inf
+            return zy - logits.max(-1)
+
+        m50, m400 = margins(50), margins(400)
+        # same rng stream: the 400-query run extends the 50-query run
+        assert m400.mean() <= m50.mean() + 1e-6
+        # the attack is actually accepting candidates (margins move vs init)
+        assert (m400 < m50 - 1e-6).any()
+
     def test_square_in_autoattack_chain(self):
         fn = make_model(seed=5)
         x, y = make_data(n=16, seed=6)

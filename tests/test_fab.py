@@ -12,6 +12,7 @@ from revisiting_at_tpu.evals.fab import (
     _proj_hyperplane_box_l1,
     _proj_hyperplane_box_l2,
     _proj_hyperplane_box_linf,
+    fab_attack_single_target,
     fab_attack_targeted,
 )
 
@@ -113,6 +114,50 @@ class TestL1Projection:
             assert res.success, (i, res.message)
             got = np.abs(delta[i]).sum()
             assert got <= res.fun + 1e-4, (i, got, res.fun)
+
+
+class TestFabUpdateStep:
+    def test_single_iteration_matches_analytic_update(self):
+        """One FAB iteration on a linear model, all projections interior:
+        the L2 projection from both x1 and x is analytic
+        (delta = -df/||w||^2 * w), alpha = clip(a1/(a1+a2)=0.5, 0, 0.1),
+        so x_best after iteration 1 must equal x + eta * delta exactly —
+        pinning the linearization + alpha-combination + eta extrapolation
+        (Croce & Hein FAB, the autoattack lib's update step)."""
+        rng = np.random.RandomState(9)
+        bs, hw, c, nc = 6, 4, 3, 3
+        d = hw * hw * c
+        wm = np.zeros((d, nc), np.float32)
+        wm[:, 0] = rng.randn(d) * 0.05
+        wm[:, 1] = rng.randn(d) * 0.05
+        wm[:, 2] = -5.0  # class 2 never competes
+        wj = jnp.asarray(wm)
+        fn = lambda xa: xa.reshape(xa.shape[0], -1) @ wj
+
+        x = rng.uniform(0.35, 0.65, size=(bs, hw, hw, c)).astype(np.float32)
+        logits = x.reshape(bs, -1) @ wm
+        y = logits[:, :2].argmax(-1).astype(np.int64)
+        y_t = (1 - y).astype(np.int64)  # the other competitive class
+
+        eta, alpha_max = 1.05, 0.1
+        x_best, res = fab_attack_single_target(
+            fn, jnp.asarray(x), jnp.asarray(y), jnp.asarray(y_t),
+            norm="L2", eps=10.0, n_iter=1, eta=eta, alpha_max=alpha_max,
+        )
+        x_best, res = np.asarray(x_best), np.asarray(res)
+
+        w_diff = wm[:, y_t].T - wm[:, y].T  # [bs, d] gradient of f_t - f_y
+        df = (x.reshape(bs, -1) * w_diff).sum(-1)  # < 0 (clean-correct)
+        delta = (-df / (w_diff**2).sum(-1))[:, None] * w_diff
+        expected = x.reshape(bs, -1) + eta * delta
+        # all interior: the box clip must not have engaged
+        assert expected.min() > 0.0 and expected.max() < 1.0
+        np.testing.assert_allclose(
+            x_best.reshape(bs, -1), expected, rtol=0, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            res, eta * np.abs(df) / np.sqrt((w_diff**2).sum(-1)), rtol=2e-3
+        )
 
 
 class TestFabAttack:

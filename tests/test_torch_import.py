@@ -216,5 +216,80 @@ class TestViTImport:
         _logits_close(tm, model, params, x, atol=5e-4)
 
 
+class TestPretrainedInit:
+    """model.pretrained path (reference get_new_model(pretrained=True),
+    utils_architecture.py:225-322): timm weights load the backbone; with
+    not_original the ConvStem stays at random init."""
+
+    def _save_ckpt(self, tmp_path, tm, wrapper=None):
+        sd = tm.state_dict()
+        obj = {wrapper: sd} if wrapper else sd
+        p = tmp_path / "timm_pretrained.pt"
+        torch.save(obj, p)
+        return str(p)
+
+    def test_full_load_original_stem(self, tmp_path):
+        from revisiting_at_tpu.ckpt.torch_import import load_timm_pretrained
+
+        torch.manual_seed(6)
+        tm = TConvNeXt(cvst=False)
+        path = self._save_ckpt(tmp_path, tm, wrapper="model")
+        model, _ = get_model("convnext_micro", num_classes=NCLS, dtype=jnp.float32)
+        init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                          train=False)["params"]
+        params, report = load_timm_pretrained(path, "convnext_micro", init)
+        assert not report["kept_random"], report["kept_random"][:5]
+        x = np.random.RandomState(7).uniform(0, 1, (2, 3, 32, 32)).astype(np.float32)
+        _logits_close(tm, model, params, x)
+
+    def test_convstem_kept_random(self, tmp_path):
+        from revisiting_at_tpu.ckpt.torch_import import load_timm_pretrained
+
+        torch.manual_seed(8)
+        tm = TConvNeXt(cvst=False)  # pretrained ckpts always have patchify stems
+        path = self._save_ckpt(tmp_path, tm)
+        model, _ = get_model(
+            "convnext_micro", not_original=True, num_classes=NCLS, dtype=jnp.float32
+        )
+        init = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)),
+                          train=False)["params"]
+        params, report = load_timm_pretrained(path, "convnext_micro", init)
+        # ConvStem params have no source counterpart -> random init preserved
+        assert any("ConvStem" in k for k in report["kept_random"])
+        import flax
+
+        pf = flax.traverse_util.flatten_dict(params, sep="/")
+        inf = flax.traverse_util.flatten_dict(init, sep="/")
+        for k in report["kept_random"]:
+            np.testing.assert_array_equal(np.asarray(pf[k]), np.asarray(inf[k]))
+        # backbone blocks ARE loaded
+        assert any(k.startswith("stage0_block0/") for k in report["loaded"])
+
+    def test_wrong_file_raises(self, tmp_path):
+        from revisiting_at_tpu.ckpt.torch_import import load_timm_pretrained
+
+        p = tmp_path / "garbage.pt"
+        torch.save({"unrelated.weight": torch.zeros(3)}, p)
+        model, _ = get_model("convnext_micro", num_classes=NCLS, dtype=jnp.float32)
+        init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                          train=False)["params"]
+        with pytest.raises(ValueError, match="matched no parameters"):
+            load_timm_pretrained(str(p), "convnext_micro", init)
+
+    def test_vit_partial_load(self, tmp_path):
+        from revisiting_at_tpu.ckpt.torch_import import load_timm_pretrained
+
+        torch.manual_seed(9)
+        tm = TViT()
+        path = self._save_ckpt(tmp_path, tm)
+        model, _ = get_model("vit_micro", num_classes=NCLS, dtype=jnp.float32)
+        init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                          train=False)["params"]
+        params, report = load_timm_pretrained(path, "vit_micro", init)
+        assert not report["kept_random"]
+        x = np.random.RandomState(10).uniform(0, 1, (2, 3, 32, 32)).astype(np.float32)
+        _logits_close(tm, model, params, x, atol=5e-4)
+
+
 if __name__ == "__main__":
     sys.exit(pytest.main([__file__, "-x", "-q"]))

@@ -118,6 +118,31 @@ class TestTrainer:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+class TestPixelScale:
+    def test_uint8_and_unit_float_batches_are_equivalent(self, tmp_path):
+        """The tf.data folder pipeline ships uint8 0..255; synthetic ships
+        float [0,1]. Both must reach the model identically — uint8 going in
+        raw (the mini-experiment regression: attacks clip to [0,1])."""
+        cfg = tiny_cfg(tmp_path, attack="apgd")
+        train, val = tiny_data(cfg)
+        tr = Trainer(cfg, train_data=train, val_data=val)
+
+        rng = np.random.RandomState(0)
+        img_u8 = rng.randint(0, 256, size=(16, 32, 32, 3), dtype=np.uint8)
+        img_f = img_u8.astype(np.float32) / 255.0
+        labels = jnp.asarray(rng.randint(0, 13, size=16))
+
+        # the step donates its input state: feed independent copies
+        s1, m1 = tr.train_step(jax.tree.map(jnp.copy, tr.state), jnp.asarray(img_u8), labels)
+        s2, m2 = tr.train_step(jax.tree.map(jnp.copy, tr.state), jnp.asarray(img_f), labels)
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m2["loss"]), rtol=1e-5
+        )
+        t1, _ = tr.eval_step(s1, jnp.asarray(img_u8), labels)
+        t2, _ = tr.eval_step(s1, jnp.asarray(img_f), labels)
+        assert int(t1) == int(t2)
+
+
 class TestSchedule:
     def test_cosine_interp_matches_reference_shape(self):
         from revisiting_at_tpu.train.schedule import LRConfig, epoch_lr, make_lr_schedule
