@@ -34,7 +34,12 @@ REPO = Path(__file__).resolve().parent.parent
 DATA = REPO / "runs" / "digits_data"
 RUNS = REPO / "runs"
 RES = 64
-EPS = 8.0 / 255.0
+# the reference's ImageNet eps (AA_eval.py:33). Training at 8/255 collapses
+# to the uniform-logits minimum on this small dataset at every model scale
+# probed (convnext_micro & tiny, lr 2e-3/1e-3/5e-4) — a known hard-AT regime,
+# not a framework property; 4/255 trains stably.
+EPS = 4.0 / 255.0
+ARCH = "convnext_tiny"  # the north-star architecture (BASELINE.md)
 N_VAL_PER_CLASS = 30  # 300 val images, 1497 train
 
 
@@ -78,7 +83,7 @@ def _train_one(name: str, attack: str, epochs: int) -> Path:
     folder = RUNS / f"mini_{name}"
     common = [
         sys.executable, "-m", "revisiting_at_tpu.cli.train",
-        "--model.arch", "convnext_micro", "--model.not_original", "1",
+        "--model.arch", ARCH, "--model.not_original", "1",
         "--model.model_ema", "1",
         "--data.dataset", "folder",
         "--data.train_dataset", str(DATA / "train"),
@@ -88,8 +93,8 @@ def _train_one(name: str, attack: str, epochs: int) -> Path:
         "--resolution.min_res", str(RES), "--resolution.max_res", str(RES),
         "--validation.resolution", str(RES), "--validation.batch_size", "128",
         "--training.batch_size", "128", "--training.epochs", str(epochs),
-        "--lr.lr", "2e-3", "--lr.lr_peak_epoch", str(max(epochs // 10, 1)),
-        "--logging.folder", str(folder),
+        "--lr.lr", "1e-3", "--lr.lr_peak_epoch", str(max(epochs // 10, 1)),
+        "--logging.folder", str(folder), "--logging.save_freq", "50",
         "--adv.attack", attack,
     ]
     if attack == "apgd":
@@ -127,7 +132,7 @@ def main(stage: str = "all") -> None:
     t0 = time.time()
     results: dict = {
         "dataset": "sklearn digits (1797 real 8x8 scans -> 64x64 JPEG, 10 classes)",
-        "arch": "convnext_micro + ConvStem", "res": RES,
+        "arch": ARCH + " + ConvStem", "res": RES,
         "eps_linf": EPS, "attack": "APGD 2-step Linf AT",
         "eval": "in-repo AutoAttack short mode (APGD-CE + APGD-T, 100 iter, 256 val imgs)",
     }
@@ -135,7 +140,7 @@ def main(stage: str = "all") -> None:
         prepare()
     if stage in ("train", "all"):
         results["clean_run"] = str(_train_one("clean", "none", epochs=40))
-        results["at_run"] = str(_train_one("at", "apgd", epochs=90))
+        results["at_run"] = str(_train_one("at", "apgd", epochs=150))
     if stage in ("eval", "all"):
         if "clean_run" not in results:
             results["clean_run"] = str(sorted((RUNS / "mini_clean").glob("*/params.json"))[-1].parent)

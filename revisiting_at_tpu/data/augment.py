@@ -52,15 +52,22 @@ def autocontrast(x: Array, _lvl) -> Array:
 
 
 def equalize(x: Array, _lvl) -> Array:
+    """PIL ImageOps.equalize, bit-exact (the op timm's RandAugment calls):
+    integer LUT  lut[i] = (step//2 + sum(h[:i])) // step  with
+    step = (N - count_of_last_nonzero_bin) // 255; identity when step == 0."""
+
     def eq_channel(c: Array) -> Array:
         v = jnp.clip(jnp.floor(c * 255.0), 0, 255).astype(jnp.int32)
-        hist = jnp.zeros((256,), jnp.float32).at[v.reshape(-1)].add(1.0)
-        cdf = jnp.cumsum(hist)
-        cdf_min = cdf[jnp.argmax(hist > 0)]
-        n = v.size
-        denom = jnp.maximum(n - cdf_min, 1.0)
-        lut = jnp.clip(jnp.round((cdf - cdf_min) / denom * 255.0), 0, 255)
-        return lut[v] / 255.0
+        hist = jnp.zeros((256,), jnp.int32).at[v.reshape(-1)].add(1)
+        nonzero = hist > 0
+        # count of the LAST nonzero bin
+        last_idx = 255 - jnp.argmax(nonzero[::-1])
+        last_count = hist[last_idx]
+        step = (v.size - last_count) // 255
+        excl_cumsum = jnp.cumsum(hist) - hist
+        lut = jnp.clip((step // 2 + excl_cumsum) // jnp.maximum(step, 1), 0, 255)
+        out = jnp.where(step > 0, lut[v], v)
+        return out.astype(jnp.float32) / 255.0
 
     return jnp.stack([eq_channel(x[..., i]) for i in range(3)], axis=-1)
 
@@ -150,7 +157,9 @@ def _affine_sample(x: Array, mat: Array, fill: float = 0.5) -> Array:
 
 
 def _rotate_mat(deg: Array, h: int, w: int) -> Array:
-    th = -deg * jnp.pi / 180.0  # PIL rotates counter-clockwise; inverse map
+    # PIL rotates counter-clockwise; this is the inverse (output->input) map,
+    # verified against Image.rotate(90) in tests/test_augment_pil.py
+    th = deg * jnp.pi / 180.0
     cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
     c, s = jnp.cos(th), jnp.sin(th)
     # inverse affine about center

@@ -5,6 +5,7 @@ from .mesh import (
     param_shardings,
     replicated,
     shard_batch,
+    tree_shardings,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "param_shardings",
     "replicated",
     "shard_batch",
+    "tree_shardings",
 ]

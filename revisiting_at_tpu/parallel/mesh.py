@@ -73,6 +73,17 @@ def param_shardings(mesh: Mesh, params: Any, min_size: int = 2**14) -> Any:
     )
 
 
+def tree_shardings(mesh: Mesh, tree: Any, min_size: int = 2**14) -> Any:
+    """NamedSharding pytree for ANY array tree by the param rule — used for
+    optimizer moments (ZeRO: mu/nu shard exactly like their params, scalars
+    replicate) and EMA trees."""
+    fsdp_size = mesh.shape.get("fsdp", 1)
+    return jax.tree.map(
+        lambda l: NamedSharding(mesh, _fsdp_spec(l.shape, fsdp_size, min_size)),
+        tree,
+    )
+
+
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda a: jax.device_put(a, sh), batch)

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import optax
 
 from ..attacks import apgd_attack, fgsm_train
+from ..data.augment import RandAugmentConfig, augment_batch
 from ..data.mixup import MixupConfig, mixup_cutmix
 from ..ops.losses import ce_indiv, soft_target_ce
 from .ema import ema_update
@@ -66,11 +67,13 @@ def make_train_step(
     *,
     adv: AdvConfig,
     mixup: MixupConfig | None,
+    randaug: RandAugmentConfig | None = None,
     ema_decay: float = 0.0,
     seed: int = 0,
     has_batch_stats: bool = False,
     donate: bool = True,
     mesh=None,
+    state_specs: TrainState | None = None,
     data_axes: tuple[str, ...] = ("data", "fsdp"),
 ) -> Callable[[TrainState, jax.Array, jax.Array], tuple[TrainState, dict]]:
     """Build the jitted train step: (state, images NHWC [0,1], int labels) ->
@@ -78,14 +81,37 @@ def make_train_step(
 
     mesh=None: rely on jit + NamedSharding auto-partitioning (XLA inserts the
     gradient all-reduce). mesh given: wrap the whole step in `shard_map` over
-    the batch axes with explicit `pmean` of grads/metrics — this makes every
-    op inside (including Pallas custom calls, which the auto-partitioner
-    would otherwise gather to full batch) shard-local. Params must be
-    replicated in this mode (pure DP; FSDP uses the auto path).
+    the batch axes with explicit collectives — this makes every op inside
+    (including Pallas custom calls, which the auto-partitioner would
+    otherwise gather to full batch) shard-local.
+
+    state_specs: a TrainState of PartitionSpecs (params/EMA/adam moments by
+    the _fsdp_spec rule). None/all-replicated = pure DP. With "fsdp"-sharded
+    specs the step runs manual ZeRO-3: params are all-gathered over the fsdp
+    axis inside the (differentiable) loss — AD's transpose of all_gather is
+    psum_scatter, so each device keeps only its shard's gradient, and the
+    optimizer/EMA update runs on sharded leaves.
     """
 
     root_key = jax.random.PRNGKey(seed)
     shard_mode = mesh is not None
+    fsdp_size = mesh.shape.get("fsdp", 1) if shard_mode else 1
+    param_specs = state_specs.params if state_specs is not None else None
+
+    def _gather_params(params):
+        """all_gather fsdp-sharded leaves back to full size (differentiable)."""
+        if param_specs is None or fsdp_size <= 1:
+            return params
+
+        def gather(leaf, spec):
+            if spec is None:
+                return leaf
+            for ax, name in enumerate(spec):
+                if name == "fsdp" or (isinstance(name, tuple) and "fsdp" in name):
+                    return jax.lax.all_gather(leaf, "fsdp", axis=ax, tiled=True)
+            return leaf
+
+        return jax.tree.map(gather, params, param_specs)
 
     def step_fn(state: TrainState, images: jax.Array, labels: jax.Array):
         rng = jax.random.fold_in(root_key, state.step)
@@ -96,18 +122,25 @@ def make_train_step(
             local = rng
             for ax in data_axes:
                 local = jax.random.fold_in(local, jax.lax.axis_index(ax))
-            _, k_attack, k_drop = jax.random.split(local, 3)
+            _, k_attack, k_drop, k_aug = jax.random.split(local, 4)
         else:
-            k_mix, k_attack, k_drop = jax.random.split(rng, 3)
+            k_mix, k_attack, k_drop, k_aug = jax.random.split(rng, 4)
 
         images = to_unit_pixels(images)
+        # on-device RandAugment/erasing/hflip INSIDE the fused step: no extra
+        # dispatch, XLA overlaps it with the H2D of the next batch (the FFCV
+        # role, SURVEY.md §7 'input pipeline throughput')
+        if randaug is not None:
+            images = augment_batch(k_aug, images, randaug)
         if mixup is not None:
             images, targets = mixup_cutmix(k_mix, images, labels, mixup)
         else:
             targets = labels
 
         # --- adversarial example generation: eval-mode, frozen stats ---
-        eval_vars = state.variables()
+        # (attack params are stop-gradient'd; the gather here is pure compute)
+        eval_vars = dict(state.variables())
+        eval_vars["params"] = _gather_params(state.params)
 
         def eval_logits(xa):
             return model.apply(eval_vars, xa, train=False)
@@ -148,7 +181,9 @@ def make_train_step(
 
         # --- training forward/backward on the adversarial points ---
         def loss_fn(params):
-            variables = {"params": params}
+            # differentiable gather: AD's transpose (psum_scatter over fsdp)
+            # leaves each device with exactly its shard's gradient
+            variables = {"params": _gather_params(params)}
             if has_batch_stats:
                 variables["batch_stats"] = state.batch_stats
                 logits, mutated = model.apply(
@@ -172,8 +207,24 @@ def make_train_step(
             state.params
         )
 
+        def _leaf_fsdp_sharded(spec) -> bool:
+            return spec is not None and any(
+                n == "fsdp" or (isinstance(n, tuple) and "fsdp" in n) for n in spec
+            )
+
         if shard_mode:
-            grads = jax.lax.pmean(grads, data_axes)
+            if param_specs is not None and fsdp_size > 1:
+                # sharded leaves: AD already summed over fsdp (psum_scatter);
+                # average over data, then divide by the fsdp-group size so
+                # every leaf ends up at the global-mean gradient
+                def reduce_grad(g, spec):
+                    if _leaf_fsdp_sharded(spec):
+                        return jax.lax.pmean(g, "data") / fsdp_size
+                    return jax.lax.pmean(g, data_axes)
+
+                grads = jax.tree.map(reduce_grad, grads, param_specs)
+            else:
+                grads = jax.lax.pmean(grads, data_axes)
             loss = jax.lax.pmean(loss, data_axes)
             if new_stats is not None:
                 new_stats = jax.lax.pmean(new_stats, data_axes)
@@ -199,11 +250,29 @@ def make_train_step(
             batch_stats=new_stats if has_batch_stats else state.batch_stats,
             ema_batch_stats=new_ema_stats,
         )
+        if shard_mode and param_specs is not None and fsdp_size > 1:
+            # shard-local sumsq for fsdp-sharded leaves needs a psum to be a
+            # true global norm (and to satisfy the replicated out_spec)
+            gl, sl = jax.tree.flatten(grads)[0], jax.tree.flatten(param_specs)[0]
+            ss_sh = sum(
+                (jnp.sum(jnp.square(g.astype(jnp.float32)))
+                 for g, s in zip(gl, sl) if _leaf_fsdp_sharded(s)),
+                start=jnp.zeros((), jnp.float32),
+            )
+            ss_rep = sum(
+                (jnp.sum(jnp.square(g.astype(jnp.float32)))
+                 for g, s in zip(gl, sl) if not _leaf_fsdp_sharded(s)),
+                start=jnp.zeros((), jnp.float32),
+            )
+            grad_norm = jnp.sqrt(jax.lax.psum(ss_sh, "fsdp") + ss_rep)
+        else:
+            grad_norm = optax.global_norm(grads)
+
         metrics = {
             "loss": loss,
             "train_acc": train_acc,
             "adv_acc": adv_acc,
-            "grad_norm": optax.global_norm(grads),
+            "grad_norm": grad_norm,
         }
         if shard_mode:
             metrics = {
@@ -217,12 +286,13 @@ def make_train_step(
         from jax.sharding import PartitionSpec as P
 
         batch_spec = P(data_axes)
+        state_spec_tree = state_specs if state_specs is not None else P()
         # check_vma=False: Pallas out_shapes don't carry vma annotations
         fn = shard_map(
             step_fn,
             mesh=mesh,
-            in_specs=(P(), batch_spec, batch_spec),
-            out_specs=(P(), P()),
+            in_specs=(state_spec_tree, batch_spec, batch_spec),
+            out_specs=(state_spec_tree, P()),
             check_vma=False,
         )
         return jax.jit(fn, donate_argnums=(0,) if donate else ())

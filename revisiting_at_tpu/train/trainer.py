@@ -24,11 +24,14 @@ import numpy as np
 
 from ..ckpt.checkpoint import CheckpointManager
 from ..config import Config
-from ..data.augment import RandAugmentConfig, augment_batch
+from ..data.augment import RandAugmentConfig
 from ..data.mixup import MixupConfig
 from ..data.synthetic import SyntheticData
 from ..models import get_model
-from ..parallel import MeshConfig, batch_sharding, make_mesh, param_shardings, replicated
+from ..parallel import (
+    MeshConfig, batch_sharding, make_mesh, param_shardings, replicated,
+    tree_shardings,
+)
 from ..utils.flops import param_count
 from ..utils.logging import RunLogger, make_run_name
 from .ema import ema_init
@@ -148,14 +151,13 @@ class Trainer:
             batch_stats=batch_stats,
             ema_batch_stats=ema_init(batch_stats) if (use_ema and batch_stats) else None,
         )
-        # place: params/opt/ema FSDP-or-replicated, batch sharded at call sites
+        # place: params/opt/ema FSDP-or-replicated (opt moments shard exactly
+        # like their params — ZeRO; scalar counts replicate), batch sharded
+        # at call sites
         shardings = TrainState(
             step=replicated(self.mesh),
             params=param_shardings(self.mesh, params),
-            opt_state=jax.tree.map(
-                lambda _: replicated(self.mesh), opt_state,
-                is_leaf=lambda x: hasattr(x, "shape"),
-            ),
+            opt_state=tree_shardings(self.mesh, opt_state),
             ema_params=param_shardings(self.mesh, params) if use_ema else None,
             batch_stats=jax.tree.map(lambda _: replicated(self.mesh), batch_stats)
             if batch_stats is not None
@@ -165,6 +167,7 @@ class Trainer:
             else None,
         )
         self.state = jax.device_put(state, shardings)
+        self.state_shardings = shardings
 
         mixup = None
         if cfg.data.augmentations:
@@ -184,20 +187,27 @@ class Trainer:
             skip_projection=bool(cfg.adv.skip_projection),
         )
         # Pallas custom calls aren't auto-partitionable: under a multi-device
-        # mesh the step runs in shard_map (pure DP, params replicated). FSDP
-        # keeps the auto-sharding path (pallas off there).
-        use_shard_map = (
-            bool(t.use_pallas) and self.mesh.size > 1 and cfg.dist.fsdp == 1
-        )
+        # mesh the step runs in shard_map. With fsdp > 1 the shard_map step
+        # runs manual ZeRO-3 (differentiable all_gather of param shards), so
+        # the fused kernel composes with FSDP instead of silently downgrading.
+        use_shard_map = bool(t.use_pallas) and self.mesh.size > 1
+        state_specs = None
+        if use_shard_map and cfg.dist.fsdp > 1:
+            state_specs = jax.tree.map(
+                lambda ns: ns.spec, shardings,
+                is_leaf=lambda x: hasattr(x, "spec"),
+            )
         self.train_step = make_train_step(
             self.model,
             self.tx,
             adv=adv,
             mixup=mixup,
+            randaug=RandAugmentConfig() if self.use_randaug else None,
             ema_decay=0.9999 if use_ema else 0.0,
             seed=t.seed,
             has_batch_stats=self.meta.has_batch_stats,
             mesh=self.mesh if use_shard_map else None,
+            state_specs=state_specs,
         )
         self.eval_step = make_eval_step(self.model, lr_tta=bool(cfg.validation.lr_tta))
 
@@ -274,7 +284,6 @@ class Trainer:
     # ------------------------------------------------------------ training
     def train_loop(self, epoch: int) -> float:
         losses = []
-        aug_rng = jax.random.PRNGKey(self.cfg.data.seed * 100003 + epoch)
         profile_steps = self.cfg.misc.profile_steps if epoch == self.start_epoch else 0
         for ix, (images, labels) in enumerate(self.train_data):
             if profile_steps and ix == 1:  # skip the compile step
@@ -285,11 +294,7 @@ class Trainer:
                 self.logger.log({"event": "trace_written",
                                  "dir": str(self.logger.dir / "trace")})
                 profile_steps = 0
-            images = jnp.asarray(images)
-            if self.use_randaug:
-                images = augment_batch(
-                    jax.random.fold_in(aug_rng, ix), images, RandAugmentConfig()
-                )
+            # RandAugment/erasing run INSIDE the fused train step (on device)
             images, labels = self._put_batch(images, labels)
             self.state, metrics = self.train_step(self.state, images, labels)
             losses.append(metrics["loss"])

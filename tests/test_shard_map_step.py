@@ -71,6 +71,37 @@ class TestShardMapStep:
             np.asarray(p_sm), np.asarray(p_auto), atol=5e-3, rtol=1e-2
         )
 
+    def test_fsdp_shard_map_matches_auto_path(self, tmp_path, interpret_kernels):
+        """use_pallas + fsdp>1: the manual-ZeRO shard_map step (differentiable
+        all_gather of param shards, psum_scatter'd grads, sharded adam
+        moments) must match the auto-sharded non-pallas FSDP path."""
+        train = SyntheticData(16, 32, 13, n_batches=2)
+        val = SyntheticData(16, 32, 13, seed=1, n_batches=1)
+
+        cfg_sm = cfg_for(tmp_path / "a", use_pallas=1)
+        cfg_sm.dist.fsdp = 2
+        cfg_auto = cfg_for(tmp_path / "b", use_pallas=0)
+        cfg_auto.dist.fsdp = 2
+
+        tr_sm = Trainer(cfg_sm, train, val)
+        tr_auto = Trainer(cfg_auto, train, val)
+        # the fsdp axis actually shards something: at least one param leaf
+        # of the shard_map trainer is not fully replicated
+        assert any(
+            ns.spec != jax.sharding.PartitionSpec()
+            for ns in jax.tree.leaves(tr_sm.state_shardings.params)
+        )
+
+        loss_sm = tr_sm.train_loop(0)
+        loss_auto = tr_auto.train_loop(0)
+        assert abs(loss_sm - loss_auto) < 0.05, (loss_sm, loss_auto)
+
+        p_sm = jax.tree.leaves(tr_sm.state.params)[0]
+        p_auto = jax.tree.leaves(tr_auto.state.params)[0]
+        np.testing.assert_allclose(
+            np.asarray(p_sm), np.asarray(p_auto), atol=5e-3, rtol=1e-2
+        )
+
     def test_no_batch_allgather_in_hlo(self, tmp_path, interpret_kernels):
         train = SyntheticData(16, 32, 13, n_batches=1)
         val = SyntheticData(16, 32, 13, seed=1, n_batches=1)
