@@ -20,12 +20,14 @@ Run alone on the TPU host: python experiments/input_pipeline_bench.py
 from __future__ import annotations
 
 import json
+import sys
 import time
 from pathlib import Path
 
 import numpy as np
 
 REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
 DATA = Path("/tmp/ipbench_data")
 RES, BATCH, N_IMGS = 224, 80, 1024
 

@@ -54,11 +54,22 @@ def autocontrast(x: Array, _lvl) -> Array:
 def equalize(x: Array, _lvl) -> Array:
     """PIL ImageOps.equalize, bit-exact (the op timm's RandAugment calls):
     integer LUT  lut[i] = (step//2 + sum(h[:i])) // step  with
-    step = (N - count_of_last_nonzero_bin) // 255; identity when step == 0."""
+    step = (N - count_of_last_nonzero_bin) // 255; identity when step == 0.
+
+    TPU note: the histogram is a one-hot matmul (compare + MXU dot), not a
+    scatter-add — TPU scatters serialize (~235 ms/batch measured on v5e vs
+    ~10 ms for this form)."""
 
     def eq_channel(c: Array) -> Array:
         v = jnp.clip(jnp.floor(c * 255.0), 0, 255).astype(jnp.int32)
-        hist = jnp.zeros((256,), jnp.int32).at[v.reshape(-1)].add(1)
+        vf = v.reshape(1, -1).astype(jnp.bfloat16)
+        bins = jnp.arange(256, dtype=jnp.bfloat16)[:, None]
+        # [256, N] one-hot (0/1 exact in bf16 for values <= 255) @ ones -> hist
+        onehot = (vf == bins).astype(jnp.bfloat16)
+        hist = jax.lax.dot_general(
+            onehot, jnp.ones((v.size, 1), jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )[:, 0].astype(jnp.int32)
         nonzero = hist > 0
         # count of the LAST nonzero bin
         last_idx = 255 - jnp.argmax(nonzero[::-1])
@@ -66,8 +77,14 @@ def equalize(x: Array, _lvl) -> Array:
         step = (v.size - last_count) // 255
         excl_cumsum = jnp.cumsum(hist) - hist
         lut = jnp.clip((step // 2 + excl_cumsum) // jnp.maximum(step, 1), 0, 255)
-        out = jnp.where(step > 0, lut[v], v)
-        return out.astype(jnp.float32) / 255.0
+        # LUT application is the transposed one-hot matmul (no gather):
+        # out_p = sum_c onehot[c, p] * lut[c]
+        mapped = jax.lax.dot_general(
+            onehot, lut.astype(jnp.bfloat16)[:, None],
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )[:, 0].reshape(v.shape)
+        out = jnp.where(step > 0, jnp.round(mapped), v.astype(jnp.float32))
+        return out / 255.0
 
     return jnp.stack([eq_channel(x[..., i]) for i in range(3)], axis=-1)
 
@@ -187,6 +204,94 @@ def _translate_y_mat(pixels: Array) -> Array:
     return jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, pixels]])
 
 
+# ----------------------------------------------- batched MXU affine warping
+#
+# Per-sample gathers are ~170 ms/batch on v5e (serialized); a banded one-hot
+# matmul runs the same bilinear resample on the MXU in ~13 ms. Any affine
+# warp factors into two 1-D resample passes (Catmull & Smith 1980):
+#   out[h,w] = in[yi, xi],  xi = a w + b h + c,  yi = d w + e h + f
+#   pass 1 (along W): tmp[h,w] = in[h, g(h,w)],
+#       g(h,w) = (a - b d/e) w + (b/e) h + (c - b f/e)
+#   pass 2 (along H): out[h,w] = tmp[d w + e h + f, w]
+# (requires e != 0 — true for all RandAugment ops: |rotate| <= 30 deg).
+#
+# Interpolation note: the mapping is exact; the reconstruction kernel is
+# separable-bilinear along the transformed axes, which for ROTATIONS differs
+# from PIL's true 2D bilinear (identical for shears/translations). On
+# natural images the difference is interpolation-noise-level; tests pin
+# shear/translate exactly and rotation on smooth images.
+
+
+def _resample_w(x: Array, tgt: Array, fill: float = 0.5) -> Array:
+    """Bilinear 1-D resample along W: out[b,h,w] = x[b,h,tgt[b,h,w]] with
+    boundary blending into `fill`. One-hot banded matmul on the MXU."""
+    B, H, W, C = x.shape
+    src = jax.lax.broadcasted_iota(jnp.float32, (1, 1, 1, W), 3)
+    t0 = jnp.floor(tgt)[..., None]
+    fr = (tgt - jnp.floor(tgt))[..., None]
+    m = jnp.where(src == t0, 1.0 - fr, 0.0) + jnp.where(src == t0 + 1.0, fr, 0.0)
+    m16 = m.astype(jnp.bfloat16)  # [B,H,Wout,Win]
+    out = jax.lax.dot_general(
+        m16, x.astype(jnp.bfloat16),
+        (((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )  # [B,H,Wout,C]
+    cov = jnp.sum(m, axis=3)  # coverage in [0,1]; <1 at/past the borders
+    return out + (1.0 - cov)[..., None] * fill
+
+
+def _resample_h(x: Array, tgt: Array, fill: float = 0.5) -> Array:
+    xt = x.transpose(0, 2, 1, 3)
+    out = _resample_w(xt, tgt.transpose(0, 2, 1), fill)
+    return out.transpose(0, 2, 1, 3)
+
+
+def warp_affine_batch(x: Array, mats: Array, fill: float = 0.5) -> Array:
+    """Batched inverse-map affine warp. mats: [B, 2, 3] rows (a b c; d e f)."""
+    B, H, W, _ = x.shape
+    a, b, c = mats[:, 0, 0], mats[:, 0, 1], mats[:, 0, 2]
+    d, e, f = mats[:, 1, 0], mats[:, 1, 1], mats[:, 1, 2]
+    wo = jax.lax.broadcasted_iota(jnp.float32, (1, 1, W), 2)
+    ho = jax.lax.broadcasted_iota(jnp.float32, (1, H, 1), 1)
+    e_safe = jnp.where(jnp.abs(e) < 1e-6, 1e-6, e)
+    g = (
+        (a - b * d / e_safe)[:, None, None] * wo
+        + (b / e_safe)[:, None, None] * ho
+        + (c - b * f / e_safe)[:, None, None]
+    )
+    tmp = _resample_w(x, jnp.broadcast_to(g, (B, H, W)), fill)
+    k = d[:, None, None] * wo + e[:, None, None] * ho + f[:, None, None]
+    return _resample_h(tmp, jnp.broadcast_to(k, (B, H, W)), fill)
+
+
+_IDENTITY_MAT = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+
+
+def _geo_mat(op_idx: Array, lvl: Array, sign: Array, h: int, w: int) -> Array:
+    """[2,3] inverse map for geometric ops; identity for photometric ones."""
+    branches = [
+        lambda: _IDENTITY_MAT,  # 0 autocontrast
+        lambda: _IDENTITY_MAT,  # 1 equalize
+        lambda: _IDENTITY_MAT,  # 2 invert
+        lambda: _rotate_mat(sign * lvl / 10.0 * 30.0, h, w),  # 3
+        lambda: _IDENTITY_MAT,  # 4 posterize
+        lambda: _IDENTITY_MAT,  # 5 solarize
+        lambda: _IDENTITY_MAT,  # 6 solarize_add
+        lambda: _IDENTITY_MAT,  # 7 color
+        lambda: _IDENTITY_MAT,  # 8 contrast
+        lambda: _IDENTITY_MAT,  # 9 brightness
+        lambda: _IDENTITY_MAT,  # 10 sharpness
+        lambda: _shear_x_mat(sign * lvl / 10.0 * 0.3),  # 11
+        lambda: _shear_y_mat(sign * lvl / 10.0 * 0.3),  # 12
+        lambda: _translate_x_mat(sign * lvl / 10.0 * 0.45 * w),  # 13
+        lambda: _translate_y_mat(sign * lvl / 10.0 * 0.45 * h),  # 14
+    ]
+    return jax.lax.switch(op_idx, branches)
+
+
+_GEO_OPS = (3, 11, 12, 13, 14)
+
+
 # ------------------------------------------------------------- rand augment
 
 @dataclasses.dataclass(frozen=True)
@@ -227,6 +332,8 @@ def _apply_op(x: Array, op_idx: Array, lvl: Array, sign: Array) -> Array:
 
 
 def rand_augment_single(rng: Array, img: Array, cfg: RandAugmentConfig) -> Array:
+    """Per-image reference path (exact per-layer op order). The production
+    path is rand_augment_batch — same distributions, MXU-friendly."""
     x = img
     for layer in range(cfg.num_layers):
         k = jax.random.fold_in(rng, layer)
@@ -239,6 +346,63 @@ def rand_augment_single(rng: Array, img: Array, cfg: RandAugmentConfig) -> Array
         apply = jax.random.bernoulli(k_apply, cfg.prob)
         x = jnp.where(apply, _apply_op(x, op_idx, lvl, sign), x)
     return x
+
+
+def _apply_photometric(x: Array, op_idx: Array, lvl: Array, sign: Array) -> Array:
+    """Photometric switch: geometric ops are identity here (their matrices
+    compose into one batched warp, _geo_mat/warp_affine_batch)."""
+    ident = lambda xx: xx
+    branches = [
+        lambda xx: autocontrast(xx, lvl),  # 0
+        lambda xx: equalize(xx, lvl),  # 1
+        lambda xx: invert(xx, lvl),  # 2
+        ident,  # 3 rotate
+        lambda xx: posterize(xx, lvl),  # 4
+        lambda xx: solarize(xx, lvl),  # 5
+        lambda xx: solarize_add(xx, lvl),  # 6
+        lambda xx: color(xx, lvl, sign),  # 7
+        lambda xx: contrast(xx, lvl, sign),  # 8
+        lambda xx: brightness(xx, lvl, sign),  # 9
+        lambda xx: sharpness(xx, lvl, sign),  # 10
+        ident, ident, ident, ident,  # 11-14 shear/translate
+    ]
+    return jax.lax.switch(op_idx, branches, x)
+
+
+def rand_augment_batch(rng: Array, images: Array, cfg: RandAugmentConfig) -> Array:
+    """Batched RandAugment, TPU-first: photometric ops run in a (cheap,
+    fused) per-image switch; geometric ops accumulate into ONE composed
+    affine matrix per image, applied as a single two-pass MXU warp at the
+    end (per-sample gathers measured ~170 ms/batch vs ~13 ms/pass matmuls).
+
+    Documented deviation vs timm: when an image draws two geometric ops
+    (P ~= 2.8% at prob 0.5), they are resampled ONCE through the composed
+    matrix instead of twice sequentially (less interpolation blur); and a
+    photometric op drawn after a geometric one is applied before the warp.
+    Distributions of each op's parameters are unchanged."""
+    b = images.shape[0]
+    h, w = images.shape[1], images.shape[2]
+    x = images
+    eye = jnp.broadcast_to(jnp.eye(3), (b, 3, 3))
+    total = eye
+    bottom = jnp.broadcast_to(jnp.array([[[0.0, 0.0, 1.0]]]), (b, 1, 3))
+    for layer in range(cfg.num_layers):
+        k = jax.random.fold_in(rng, layer)
+        k_op, k_apply, k_lvl, k_sign = jax.random.split(k, 4)
+        op_idx = jax.random.randint(k_op, (b,), 0, N_OPS)
+        lvl = jnp.clip(
+            cfg.magnitude + cfg.mstd * jax.random.normal(k_lvl, (b,)), 0.0, 10.0
+        )
+        sign = jnp.where(jax.random.bernoulli(k_sign, shape=(b,)), 1.0, -1.0)
+        apply = jax.random.bernoulli(k_apply, cfg.prob, (b,))
+        y = jax.vmap(_apply_photometric)(x, op_idx, lvl, sign)
+        x = jnp.where(apply.reshape(-1, 1, 1, 1), y, x)
+        mats = jax.vmap(lambda o, l, s: _geo_mat(o, l, s, h, w))(op_idx, lvl, sign)
+        hom = jnp.concatenate([mats, bottom], axis=1)
+        hom = jnp.where(apply.reshape(-1, 1, 1), hom, eye)
+        # inverse maps compose left-to-right in application order
+        total = jnp.einsum("bij,bjk->bik", total, hom)
+    return warp_affine_batch(x, total[:, :2, :])
 
 
 def random_erasing_single(
@@ -292,7 +456,7 @@ def augment_batch(
     if hflip > 0:
         images = jax.vmap(partial(hflip_single, prob=hflip))(keys[0], images)
     if use_randaug:
-        images = jax.vmap(lambda k, im: rand_augment_single(k, im, cfg))(keys[1], images)
+        images = rand_augment_batch(keys[1, 0], images, cfg)
     if re_prob > 0:
         images = jax.vmap(partial(random_erasing_single, prob=re_prob))(keys[2], images)
     return images

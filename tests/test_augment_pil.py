@@ -147,6 +147,52 @@ class TestGeometric:
         assert np.abs(out[inner, inner] * 255 - want[inner, inner]).max() <= 2.0
 
 
+class TestBatchedWarp:
+    """warp_affine_batch (two one-hot-matmul passes on the MXU) vs the
+    per-image gather sampler: exact (to bf16) for axis-aligned maps; for
+    rotations the separable kernel is compared on a smooth image."""
+
+    def _x(self, seed=16, b=3, h=24, w=24, smooth=False):
+        rng = np.random.RandomState(seed)
+        if smooth:
+            base = rng.uniform(0, 1, (4, 4, 3))
+            img = np.asarray(
+                Image.fromarray((base * 255).astype(np.uint8)).resize((w, h), Image.BICUBIC)
+            ).astype(np.float32) / 255.0
+            return jnp.asarray(np.stack([img] * b))
+        return jnp.asarray(rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32))
+
+    @pytest.mark.parametrize("mat_fn", [
+        lambda: A._shear_x_mat(jnp.asarray(0.25)),
+        lambda: A._shear_y_mat(jnp.asarray(-0.2)),
+        lambda: A._translate_x_mat(jnp.asarray(5.3)),
+        lambda: A._translate_y_mat(jnp.asarray(-7.8)),
+    ])
+    def test_axis_aligned_exact(self, mat_fn):
+        x = self._x()
+        mat = mat_fn()
+        import jax
+
+        ref = np.asarray(jax.vmap(lambda im: A._affine_sample(im, mat))(x))
+        got = np.asarray(A.warp_affine_batch(x, jnp.broadcast_to(mat, (3, 2, 3))))
+        assert np.abs(got - ref).max() < 8e-3  # bf16 matmul weights
+
+    def test_rotation_on_smooth_image(self):
+        x = self._x(smooth=True)
+        mat = A._rotate_mat(jnp.asarray(20.0), 24, 24)
+        import jax
+
+        ref = np.asarray(jax.vmap(lambda im: A._affine_sample(im, mat))(x))
+        got = np.asarray(A.warp_affine_batch(x, jnp.broadcast_to(mat, (3, 2, 3))))
+        # separable kernel + boundary fill-blend differences
+        assert np.abs(got - ref).max() < 0.05
+
+    def test_identity_is_noop(self):
+        x = self._x(seed=17)
+        got = np.asarray(A.warp_affine_batch(x, jnp.broadcast_to(A._IDENTITY_MAT, (3, 2, 3))))
+        assert np.abs(got - np.asarray(x)).max() < 4e-3
+
+
 if __name__ == "__main__":
     import sys
 
