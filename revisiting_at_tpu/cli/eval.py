@@ -146,8 +146,13 @@ def main(argv=None):
     if batch_stats is not None:
         variables["batch_stats"] = batch_stats
 
+    from ..train.train_step import input_grad_view
+
+    # all eval attacks differentiate w.r.t. the input only
+    attack_view = input_grad_view(model)
+
     def logits_fn(xb):
-        return model.apply(variables, xb, train=False)
+        return attack_view.apply(variables, xb, train=False)
 
     x, y = load_eval_set(args, cfg.data.num_classes)
 

@@ -44,6 +44,10 @@ class ConvNeXtBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     pallas_interpret: bool = False  # CPU-test mode for the kernel
+    # 'input': the fused kernel's backward computes only the input cotangent
+    # (attack closures never differentiate w.r.t. weights; the monolithic
+    # pallas_call otherwise computes-and-discards all weight grads)
+    pallas_grad_mode: str = "full"
     # separate gate: the Pallas dwconv measured SLOWER than XLA's lowering on
     # v5e (242 vs 143 ms/step — 49 sublane-unaligned shifted reads); kept as
     # groundwork, off by default
@@ -100,6 +104,7 @@ class ConvNeXtBlock(nn.Module):
             return convnext_block_tail(
                 s, shortcut, keep, ln_g, ln_b, w1, b1, w2, b2, gamma,
                 interpret=self.pallas_interpret,
+                grad_mode=self.pallas_grad_mode,
             ).astype(self.dtype)
         if keep is None:
             keep = jnp.ones((x.shape[0],), jnp.float32)
@@ -141,6 +146,7 @@ class ConvNeXt(nn.Module):
     # for recompute — the right trade on TPU where the AT step is HBM-bound
     use_pallas: bool = False  # fused Pallas block-tail kernel (C <= 384)
     pallas_interpret: bool = False
+    pallas_grad_mode: str = "full"
     use_pallas_dwconv: bool = False
 
     @nn.compact
@@ -179,6 +185,7 @@ class ConvNeXt(nn.Module):
                     dtype=self.dtype,
                     use_pallas=self.use_pallas,
                     pallas_interpret=self.pallas_interpret,
+                    pallas_grad_mode=self.pallas_grad_mode,
                     use_pallas_dwconv=self.use_pallas_dwconv,
                     name=f"stage{si}_block{bi}",
                 )(x, train)
@@ -211,6 +218,7 @@ class ConvNeXtIsotropic(nn.Module):
     remat: bool = False
     use_pallas: bool = False
     pallas_interpret: bool = False
+    pallas_grad_mode: str = "full"
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -237,6 +245,7 @@ class ConvNeXtIsotropic(nn.Module):
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
                 pallas_interpret=self.pallas_interpret,
+                pallas_grad_mode=self.pallas_grad_mode,
                 name=f"block{bi}",
             )(x, train)
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))

@@ -154,6 +154,36 @@ def _bwd_kernel(s_ref, keep_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
     ds_ref[0] = ds.astype(ds_ref.dtype)
 
 
+def _bwd_input_kernel(s_ref, keep_ref, lng_ref, lnb_ref, w1_ref, b1_ref,
+                      w2_ref, gamma_ref, dy_ref, ds_ref):
+    """Input-cotangent-only backward: ds from dy, NO weight gradients.
+
+    The attack loop differentiates w.r.t. the INPUT only; a monolithic
+    pallas_call can't be dead-code-eliminated by XLA, so the full backward
+    would compute and throw away dW1/dW2/dLN/dgamma on every attack
+    backward (6 matmul-units vs the 3 actually needed, plus the f32
+    accumulator traffic)."""
+    s = s_ref[0].astype(jnp.float32)
+    g_ln = lng_ref[0]
+    u, xhat, inv = _ln_f32(s, g_ln, lnb_ref[0])
+    u16 = u.astype(jnp.bfloat16)
+    h = jnp.dot(u16, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[0]
+    dgelu = _dgelu_f32(h)
+
+    dy = dy_ref[0].astype(jnp.float32)
+    keep = keep_ref[pl.program_id(0), 0]
+    do16 = (keep * dy * gamma_ref[0]).astype(jnp.bfloat16)
+    dg = _dot_rhsT(do16, w2_ref[:])
+    dh16 = (dg * dgelu).astype(jnp.bfloat16)
+    du = _dot_rhsT(dh16, w1_ref[:])
+
+    dxh = du * g_ln
+    m1 = jnp.mean(dxh, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxh * xhat, axis=-1, keepdims=True)
+    ds = inv * (dxh - m1 - xhat * m2)
+    ds_ref[0] = ds.astype(ds_ref.dtype)
+
+
 # ------------------------------------------------------------- custom vjp
 
 def _specs(B, m_tile, C, H):
@@ -168,8 +198,14 @@ def _specs(B, m_tile, C, H):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
-def block_mlp(s, r, keep, ln_g, ln_b, w1, b1, w2, b2, gamma, m_tile, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
+def block_mlp(s, r, keep, ln_g, ln_b, w1, b1, w2, b2, gamma, m_tile, interpret,
+              grad_mode="full", m_tile_bwd=None):
+    """grad_mode: 'full' computes all cotangents; 'input' computes only
+    ds/dr (param cotangents returned as zeros) — for attack closures that
+    differentiate w.r.t. the input only. NEVER use 'input' in a step that
+    updates weights. m_tile_bwd: backward-kernel tile (defaults to m_tile);
+    the full backward's f32 accumulators need a smaller tile than fwd."""
     return _fwd_impl(s, r, keep, ln_g, ln_b, w1, b1, w2, b2, gamma, m_tile, interpret)
 
 
@@ -190,16 +226,35 @@ def _fwd_impl(s, r, keep, ln_g, ln_b, w1, b1, w2, b2, gamma, m_tile, interpret):
       w1, b1.reshape(1, H), w2, b2.reshape(1, C), gamma.reshape(1, C))
 
 
-def _vjp_fwd(s, r, keep, ln_g, ln_b, w1, b1, w2, b2, gamma, m_tile, interpret):
+def _vjp_fwd(s, r, keep, ln_g, ln_b, w1, b1, w2, b2, gamma, m_tile, interpret,
+             grad_mode="full", m_tile_bwd=None):
     y = _fwd_impl(s, r, keep, ln_g, ln_b, w1, b1, w2, b2, gamma, m_tile, interpret)
     return y, (s, keep, ln_g, ln_b, w1, b1, w2, b2, gamma)
 
 
-def _vjp_bwd(m_tile, interpret, res, dy):
+def _vjp_bwd(m_tile, interpret, grad_mode, m_tile_bwd, res, dy):
     s, keep, ln_g, ln_b, w1, b1, w2, b2, gamma = res
     B, M, C = s.shape
     H = w1.shape[1]
+    m_tile = m_tile_bwd if m_tile_bwd is not None else m_tile
     sp = _specs(B, m_tile, C, H)
+
+    if grad_mode == "input":
+        ds = pl.pallas_call(
+            _bwd_input_kernel,
+            grid=(B, M // m_tile),
+            in_specs=[sp["s"], sp["keep"], sp["vecC"], sp["vecC"], sp["w1"],
+                      sp["vecH"], sp["w2"], sp["vecC"], sp["s"]],
+            out_specs=sp["s"],
+            out_shape=jax.ShapeDtypeStruct((B, M, C), s.dtype),
+            interpret=interpret,
+        )(s, keep.reshape(B, 1), ln_g.reshape(1, C), ln_b.reshape(1, C), w1,
+          b1.reshape(1, H), w2, gamma.reshape(1, C), dy)
+        z = jnp.zeros
+        return (ds, dy, jnp.zeros_like(keep),
+                z((C,), ln_g.dtype), z((C,), ln_b.dtype),
+                z((C, H), w1.dtype), z((H,), b1.dtype),
+                z((H, C), w2.dtype), z((C,), b2.dtype), z((C,), gamma.dtype))
 
     out_shapes = (
         jax.ShapeDtypeStruct((B, M, C), s.dtype),   # ds
@@ -238,13 +293,18 @@ def _vjp_bwd(m_tile, interpret, res, dy):
 block_mlp.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def pick_m_tile(M: int, C: int, H: int) -> int:
-    """Largest tile dividing M whose bwd-kernel VMEM footprint fits:
-    resident weights (bf16) + f32 grad accumulators + ~4 f32 H-wide and
-    ~4 f32 C-wide per-row temporaries, against a ~12 MB budget."""
-    fixed = 2 * C * H * 2 + 2 * C * H * 4  # w1/w2 bf16 + dw1/dw2 f32
+def pick_m_tile(M: int, C: int, H: int, heavy: bool = True) -> int:
+    """Largest tile dividing M whose kernel VMEM footprint fits ~12 MB.
+
+    heavy=True (full backward): resident bf16 weights + f32 dW1/dW2
+    accumulators + ~4 f32 H-wide and ~4 f32 C-wide per-row temporaries.
+    heavy=False (forward / input-only backward): no accumulators — much
+    larger tiles, fewer grid steps."""
+    fixed = 2 * C * H * 2 + (2 * C * H * 4 if heavy else 0)
     per_row = 16 * H + 16 * C
-    cap = max(16, (12_000_000 - fixed) // per_row)
+    # the Mosaic scoped-vmem limit is 16 MB; leave headroom for spills
+    budget = 14_000_000
+    cap = max(16, (budget - fixed) // per_row)
     # Mosaic requires the sublane (2nd-minor) block dim to be a multiple of 8
     # or equal to the array dim; search multiples of 8 dividing M, largest
     # within the cap, else fall back to the whole axis.
@@ -267,24 +327,34 @@ def convnext_block_tail(
     gamma: jax.Array,
     *,
     interpret: bool = False,
+    grad_mode: str = "full",
 ) -> jax.Array:
     """NHWC wrapper around the fused block-tail kernel.
 
     keep=None (no DropPath — the paper's ConvNeXt-T recipe) flattens the
-    batch into one grid row so tiles are maximal: ~2.6x fewer grid steps."""
+    batch into one grid row so tiles are maximal: ~2.6x fewer grid steps.
+
+    grad_mode='input': backward computes only the input cotangent (for the
+    attack closure, which never differentiates w.r.t. weights)."""
     B, Hs, Ws, C = s.shape
+    H4 = w1.shape[1]
     M = Hs * Ws
+    heavy_bwd = grad_mode != "input"
     if keep is None:
         BM = B * M
         y = block_mlp(
             s.reshape(1, BM, C), r.reshape(1, BM, C), jnp.ones((1,), jnp.float32),
             ln_g, ln_b, w1.astype(jnp.bfloat16), b1,
-            w2.astype(jnp.bfloat16), b2, gamma, pick_m_tile(BM, C, w1.shape[1]), interpret,
+            w2.astype(jnp.bfloat16), b2, gamma,
+            pick_m_tile(BM, C, H4, heavy=False), interpret, grad_mode,
+            pick_m_tile(BM, C, H4, heavy=heavy_bwd),
         )
         return y.reshape(B, Hs, Ws, C)
     y = block_mlp(
         s.reshape(B, M, C), r.reshape(B, M, C), keep.astype(jnp.float32),
         ln_g, ln_b, w1.astype(jnp.bfloat16), b1,
-        w2.astype(jnp.bfloat16), b2, gamma, pick_m_tile(M, C, w1.shape[1]), interpret,
+        w2.astype(jnp.bfloat16), b2, gamma,
+        pick_m_tile(M, C, H4, heavy=False), interpret, grad_mode,
+        pick_m_tile(M, C, H4, heavy=heavy_bwd),
     )
     return y.reshape(B, Hs, Ws, C)

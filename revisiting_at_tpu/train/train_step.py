@@ -37,6 +37,20 @@ from .ema import ema_update
 from .state import TrainState
 
 
+def input_grad_view(m):
+    """Attack-closure view of a model: the fused Pallas block-tail backward
+    computes ONLY the input cotangent (weight cotangents are structurally
+    discarded by the attack, but a monolithic pallas_call is not
+    dead-code-eliminable — ops/block_mlp.py grad_mode). No-op for models
+    without the knob."""
+    if hasattr(m, "pallas_grad_mode"):
+        return m.clone(pallas_grad_mode="input")
+    inner = getattr(m, "model", None)  # NormalizedModel wrapper
+    if inner is not None and hasattr(inner, "pallas_grad_mode"):
+        return m.clone(model=inner.clone(pallas_grad_mode="input"))
+    return m
+
+
 def to_unit_pixels(images: jax.Array) -> jax.Array:
     """Canonical [0,1] float pixels. uint8 batches (the tf.data folder
     pipeline ships uint8 — 4x cheaper host->device) are scaled by 1/255;
@@ -97,6 +111,7 @@ def make_train_step(
     shard_mode = mesh is not None
     fsdp_size = mesh.shape.get("fsdp", 1) if shard_mode else 1
     param_specs = state_specs.params if state_specs is not None else None
+    attack_model = input_grad_view(model)
 
     def _gather_params(params):
         """all_gather fsdp-sharded leaves back to full size (differentiable)."""
@@ -143,7 +158,7 @@ def make_train_step(
         eval_vars["params"] = _gather_params(state.params)
 
         def eval_logits(xa):
-            return model.apply(eval_vars, xa, train=False)
+            return attack_model.apply(eval_vars, xa, train=False)
 
         adv_acc = jnp.asarray(1.0)
         if adv.attack == "apgd":

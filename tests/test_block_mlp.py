@@ -68,6 +68,52 @@ class TestBlockMlpKernel:
             denom = np.abs(b).max() + 1e-6
             assert np.abs(a - b).max() / denom < 3e-2, (n, np.abs(a - b).max(), denom)
 
+    def test_input_grad_mode_matches_full(self):
+        """grad_mode='input' returns the same ds/dr as the full backward
+        (and zero, not garbage, param cotangents)."""
+        args = make_inputs(seed=3)
+        m_tile = pick_m_tile(args[0].shape[1], args[0].shape[2], 4 * args[0].shape[2])
+
+        def loss(mode, *a):
+            return jnp.sum(block_mlp(*a, m_tile, True, mode) ** 2)
+
+        g_full = jax.grad(lambda *a: loss("full", *a), argnums=(0, 1))(*args)
+        g_inp = jax.grad(lambda *a: loss("input", *a), argnums=(0, 1))(*args)
+        for a, b in zip(g_inp, g_full):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+            )
+        # param cotangents are exact zeros in input mode
+        gp = jax.grad(lambda *a: loss("input", *a), argnums=(5, 7))(*args)
+        for g in gp:
+            assert float(jnp.abs(g).max()) == 0.0
+
+    def test_input_grad_view_in_apgd(self):
+        """The attack on the input-grad view produces the same adversarial
+        points as on the full model (pallas interpret, CPU)."""
+        from revisiting_at_tpu.attacks import apgd_attack
+        from revisiting_at_tpu.models import get_model
+        from revisiting_at_tpu.train.train_step import input_grad_view
+
+        model, _ = get_model(
+            "convnext_micro", not_original=True, num_classes=7,
+            dtype=jnp.float32, use_pallas=True, pallas_interpret=True,
+        )
+        rng = np.random.RandomState(4)
+        x = jnp.asarray(rng.uniform(0.1, 0.9, (4, 32, 32, 3)).astype(np.float32))
+        y = jnp.asarray(rng.randint(0, 7, 4))
+        variables = model.init(jax.random.PRNGKey(0), x[:1], train=False)
+        view = input_grad_view(model)
+        assert view.pallas_grad_mode == "input"
+
+        fn_full = lambda xa: model.apply(variables, xa, train=False)
+        fn_view = lambda xa: view.apply(variables, xa, train=False)
+        r_full = apgd_attack(fn_full, x, y, norm="Linf", eps=0.03, n_iter=3)
+        r_view = apgd_attack(fn_view, x, y, norm="Linf", eps=0.03, n_iter=3)
+        np.testing.assert_allclose(
+            np.asarray(r_view.x_best), np.asarray(r_full.x_best), atol=1e-6
+        )
+
     def test_uneven_m_tile(self):
         # M not a multiple of any nice tile: pads internally
         args = make_inputs(B=1, M=24, C=16, seed=2)
