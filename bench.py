@@ -40,8 +40,9 @@ def main() -> None:
     from revisiting_at_tpu.train.state import TrainState
     from revisiting_at_tpu.train.train_step import AdvConfig, make_train_step
 
-    # use_pallas: fused block-tail kernel (ops/block_mlp.py) — measured 163.5
-    # vs 202 ms/step on v5e vs the plain XLA path
+    # use_pallas: fused block-tail kernel (ops/block_mlp.py) with the
+    # input-cotangent-only backward for attack closures — 127 vs 202 ms/step
+    # on v5e vs the plain XLA path (full profile + rooflines: PROFILE.md)
     model, meta = get_model(
         "convnext_tiny", not_original=True, dtype=jnp.bfloat16, use_pallas=True
     )

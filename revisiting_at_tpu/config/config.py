@@ -88,6 +88,7 @@ class TrainingSection:
     epochs: int = 100
     label_smoothing: float = 0.1
     distributed: int = 0
+    grad_accum: int = 1  # micro-batches per optimizer step (TPU memory lever)
     use_blurpool: int = 0
     precision: str = "bf16"  # 'bf16' | 'fp32' (replaces fp16+GradScaler)
     seed: int = 0

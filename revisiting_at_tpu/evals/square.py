@@ -159,6 +159,81 @@ def square_attack_l2(
     return x_best, margin_min > 0.0
 
 
+def square_attack_l1(
+    logits_fn: Callable[[Array], Array],
+    x: Array,
+    y: Array,
+    *,
+    eps: float = 75.0,
+    n_queries: int = 5000,
+    p_init: float = 0.8,
+    rng: Array | None = None,
+) -> tuple[Array, Array]:
+    """L1 Square attack (the autoattack library's L1 extension of
+    Andriushchenko et al.; completes --l_norms L1 --full_aa 1, reference
+    eps table AA_eval.py:33 L1=75).
+
+    Per query: write a random ±-signed square carrying a large fraction of
+    the L1 budget into a random window of the current perturbation, then
+    project exactly onto the L1 ball ∩ [0,1] box (ops/norms.l1_projection —
+    the projection soft-thresholds, keeping the perturbation sparse, which
+    is the essence of the official L1 variant). Margin-loss acceptance and
+    frozen already-broken points as in the Linf/L2 variants."""
+    from ..ops.norms import l1_projection
+
+    assert rng is not None
+    b, h, w, c = x.shape
+    x = x.astype(jnp.float32)
+
+    k_init, k_loop = jax.random.split(rng)
+    # init: vertical ±stripes scaled onto the L1 sphere, then projected
+    stripes = jnp.where(jax.random.bernoulli(k_init, 0.5, (b, 1, w, c)), 1.0, -1.0)
+    delta = jnp.broadcast_to(stripes, x.shape)
+    nrm = jnp.sum(jnp.abs(delta), axis=(1, 2, 3), keepdims=True)
+    delta = delta / nrm * eps
+    delta = delta + l1_projection(x, delta, eps)
+    x_best = jnp.clip(x + delta, 0.0, 1.0)
+    margin_min, loss_min = _margin_loss(logits_fn(x_best), y)
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, (1, h, w, 1), 1)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (1, h, w, 1), 2)
+
+    def body(carry, it):
+        x_best, margin_min, loss_min = carry
+        k = jax.random.fold_in(k_loop, it)
+        k_pos, k_sign, k_mag = jax.random.split(k, 3)
+
+        p = _p_selection(p_init, it)
+        s = jnp.clip(jnp.round(jnp.sqrt(p * h * w)).astype(jnp.int32), 1, h - 1)
+        vh = jax.random.randint(k_pos, (b, 1, 1, 1), 0, h - s + 1)
+        vw = jax.random.randint(jax.random.fold_in(k_pos, 1), (b, 1, 1, 1), 0, w - s + 1)
+        window = (ys >= vh) & (ys < vh + s) & (xs >= vw) & (xs < vw + s)
+
+        # write a ±window carrying ~half the budget into the current delta
+        delta = x_best - x
+        signs = jnp.where(jax.random.bernoulli(k_sign, 0.5, (b, 1, 1, c)), 1.0, -1.0)
+        frac = jax.random.uniform(k_mag, (b, 1, 1, 1), minval=0.3, maxval=0.7)
+        n_win = (s * s * c).astype(jnp.float32)
+        mag = frac * eps / jnp.maximum(n_win, 1.0)
+        cand_delta = jnp.where(window, delta + signs * mag, delta)
+        cand_delta = cand_delta + l1_projection(x, cand_delta, eps)
+        cand = jnp.clip(x + cand_delta, 0.0, 1.0)
+
+        margin_c, loss_c = _margin_loss(logits_fn(cand), y)
+        improved = loss_c < loss_min
+        active = margin_min > 0.0
+        take = jnp.logical_and(improved, active)
+        x_best = jnp.where(take[:, None, None, None], cand, x_best)
+        loss_min = jnp.where(take, loss_c, loss_min)
+        margin_min = jnp.where(take, margin_c, margin_min)
+        return (x_best, margin_min, loss_min), None
+
+    (x_best, margin_min, _), _ = jax.lax.scan(
+        body, (x_best, margin_min, loss_min), jnp.arange(n_queries - 1)
+    )
+    return x_best, margin_min > 0.0
+
+
 def square_attack(
     logits_fn: Callable[[Array], Array],
     x: Array,
@@ -173,6 +248,10 @@ def square_attack(
     """Returns (x_best, acc): acc[i]=False means sample i was misclassified."""
     if norm == "L2":
         return square_attack_l2(
+            logits_fn, x, y, eps=eps, n_queries=n_queries, p_init=p_init, rng=rng
+        )
+    if norm == "L1":
+        return square_attack_l1(
             logits_fn, x, y, eps=eps, n_queries=n_queries, p_init=p_init, rng=rng
         )
     if norm != "Linf":

@@ -67,7 +67,14 @@ def make_optimizer(
     grad_clip: float | None = None,
     freeze_some: bool = False,
     early: bool = True,
+    grad_accum: int = 1,
 ) -> optax.GradientTransformation:
+    """grad_accum > 1 wraps the whole chain in optax.MultiSteps: k
+    micro-batch gradients are averaged before one optimizer step — the
+    memory lever for ConvNeXt-L@320-class configs (absent in the reference,
+    SURVEY.md §2.3 'not present anywhere: gradient accumulation'). The LR
+    schedule advances per OPTIMIZER step; the trainer scales
+    iters_per_epoch accordingly."""
     mask = wd_mask(params, family)
     parts = []
     if grad_clip:
@@ -95,4 +102,6 @@ def make_optimizer(
         tx = optax.multi_transform(
             {"train": tx, "freeze": optax.set_to_zero()}, freeze_labels(params, early)
         )
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
     return tx

@@ -129,7 +129,11 @@ class Trainer:
             step_length=cfg.lr.step_length,
             epochs=t.epochs,
         )
-        self.lr_schedule = make_lr_schedule(lr_cfg, self.iters_per_epoch)
+        # LR schedule advances per OPTIMIZER step (grad_accum micro-batches)
+        accum = max(int(t.grad_accum), 1)
+        self.lr_schedule = make_lr_schedule(
+            lr_cfg, max(self.iters_per_epoch // accum, 1)
+        )
         self.tx = make_optimizer(
             optimizer=t.optimizer,
             weight_decay=t.weight_decay,
@@ -139,6 +143,7 @@ class Trainer:
             params=params,
             freeze_some=bool(cfg.model.freeze_some),
             early=bool(cfg.model.early),
+            grad_accum=accum,
         )
         opt_state = self.tx.init(params)
 

@@ -118,6 +118,79 @@ class TestTrainer:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+class TestGradAccum:
+    def test_two_microbatches_equal_one_full_batch(self, tmp_path):
+        """grad_accum=2 over two half-batches must produce the same params
+        as one full-batch step (gradient accumulation is absent in the
+        reference — SURVEY §2.3; TPU memory lever for L@320)."""
+        import jax
+        import jax.numpy as jnp
+
+        from revisiting_at_tpu.models import get_model
+        from revisiting_at_tpu.train.ema import ema_init
+        from revisiting_at_tpu.train.optimizer import make_optimizer
+        from revisiting_at_tpu.train.state import TrainState
+        from revisiting_at_tpu.train.train_step import AdvConfig, make_train_step
+
+        model, meta = get_model("convnext_micro", num_classes=5, dtype=jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                            train=False)["params"]
+        rng = np.random.RandomState(0)
+        imgs = jnp.asarray(rng.uniform(0, 1, (8, 32, 32, 3)).astype(np.float32))
+        labels = jnp.asarray(rng.randint(0, 5, 8))
+
+        def run(accum, batches):
+            tx = make_optimizer(optimizer="adamw", weight_decay=0.05,
+                                family=meta.family, learning_rate=1e-3,
+                                params=params, grad_accum=accum)
+            state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                               opt_state=tx.init(params), ema_params=ema_init(params))
+            step = make_train_step(model, tx, adv=AdvConfig(attack="none"),
+                                   mixup=None, ema_decay=0.0,
+                                   has_batch_stats=False, donate=False)
+            for im, lb in batches:
+                state, _ = step(state, im, lb)
+            return state.params
+
+        p_full = run(1, [(imgs, labels)])
+        p_acc = run(2, [(imgs[:4], labels[:4]), (imgs[4:], labels[4:])])
+        for a, b in zip(jax.tree.leaves(p_acc), jax.tree.leaves(p_full)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, rtol=1e-6)
+
+
+class TestResolutionRamp:
+    def test_factory_rebuilds_data_at_ramp_epochs(self, tmp_path):
+        """min_res < max_res: the trainer must call train_data_factory with
+        the ramped resolution (reference get_resolution + decoder resize,
+        main.py:372-388,714-718)."""
+        cfg = tiny_cfg(tmp_path, attack="none")
+        cfg.resolution.min_res = 32
+        cfg.resolution.max_res = 64
+        cfg.resolution.start_ramp = 0
+        cfg.resolution.end_ramp = 2
+        cfg.training.epochs = 3
+        cfg.validation.resolution = 32
+        calls = []
+
+        def factory(res):
+            calls.append(res)
+            return SyntheticData(cfg.training.batch_size, res,
+                                 cfg.data.num_classes, n_batches=1)
+
+        train, val = tiny_data(cfg, n_batches=1)
+        tr = Trainer(cfg, train_data=factory(32), val_data=val,
+                     train_data_factory=factory)
+        calls.clear()
+        tr.train()
+        # resolutions are rounded to x32: epoch 0 -> 32 (== initial, only
+        # rebuilt if different), epochs 1..2 ramp toward 64
+        assert calls, "factory never invoked during the ramp"
+        assert calls[-1] == 64, calls
+        for r in calls:
+            assert r % 32 == 0
+
+
 class TestPixelScale:
     def test_uint8_and_unit_float_batches_are_equivalent(self, tmp_path):
         """The tf.data folder pipeline ships uint8 0..255; synthetic ships
