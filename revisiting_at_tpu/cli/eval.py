@@ -92,6 +92,10 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from ..config import load_params_json
     from ..evals import EPS_DICT, SHORT_ATTACKS, STANDARD_ATTACKS, AutoAttack, AutoAttackConfig
     from ..models import get_model, resize_vit_pos_embed

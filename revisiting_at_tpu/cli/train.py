@@ -21,6 +21,13 @@ import sys
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     from ..config import config_from_args
+    from ..utils.cache import enable_compilation_cache
+
+    # persistent compile cache: reliably replays small/medium programs
+    # across processes (measured 11.6 s -> 0.6 s); NOTE the axon tunnel
+    # appears to re-do server-side work for very large executables (the
+    # 95 MB ViT AT step still takes minutes on a key hit), see utils/cache.py
+    enable_compilation_cache()
 
     cfg = config_from_args(argv)
 
