@@ -33,6 +33,7 @@ jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 from revisiting_at_tpu.config import Config  # noqa: E402
 from revisiting_at_tpu.train.trainer import Trainer  # noqa: E402
@@ -70,7 +71,13 @@ def main() -> None:
 
     trainer = Trainer(cfg, train_data=Val(), val_data=Val())
     acc, total = trainer.single_val()
-    print(f"RESULT {acc:.6f} {total}", flush=True)
+
+    # one training step on per-rank-DIFFERENT data: the returned loss and
+    # the updated params are globally reduced, so they must be identical
+    # across ranks (grads psum'd over the whole mesh)
+    loss = trainer.train_loop(0)
+    p0 = float(jnp.sum(jnp.abs(jax.tree.leaves(trainer.state.params)[0])))
+    print(f"RESULT {acc:.6f} {total} {loss:.6f} {p0:.6f}", flush=True)
 
 
 if __name__ == "__main__":

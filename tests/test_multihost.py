@@ -50,11 +50,15 @@ def test_single_val_reports_global_metrics_across_processes():
     for out in outs:
         lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
         assert lines, f"no RESULT line in:\n{out[-3000:]}"
-        _, acc, total = lines[-1].split()
-        results.append((float(acc), int(total)))
+        _, acc, total, loss, p0 = lines[-1].split()
+        results.append((float(acc), int(total), float(loss), float(p0)))
 
-    (acc0, tot0), (acc1, tot1) = results
+    (acc0, tot0, loss0, p00), (acc1, tot1, loss1, p01) = results
     # both ranks agree on the same GLOBAL numbers
     assert acc0 == pytest.approx(acc1, abs=1e-9)
     # total is the GLOBAL count: 2 batches x 8/process x 2 processes
     assert tot0 == tot1 == 32
+    # training on per-rank-different data: loss and updated params are
+    # globally reduced, hence rank-identical
+    assert loss0 == pytest.approx(loss1, abs=1e-6)
+    assert p00 == pytest.approx(p01, rel=1e-6)
