@@ -143,19 +143,36 @@ class TViTBlock(nn.Module):
 
 
 class TViT(nn.Module):
-    def __init__(self, dim=32, depth=2, heads=2, img=32, patch=16):
+    def __init__(self, dim=32, depth=2, heads=2, img=32, patch=16, cvst=False):
         super().__init__()
         n = (img // patch) ** 2
         self.cls_token = nn.Parameter(torch.randn(1, 1, dim) * 0.02)
         self.pos_embed = nn.Parameter(torch.randn(1, n + 1, dim) * 0.02)
         self.patch_embed = nn.Module()
-        self.patch_embed.proj = nn.Conv2d(3, dim, patch, stride=patch)
+        if cvst:
+            # reference ConvBlock (utils_architecture.py:120-144) at the
+            # vit_micro scale: siz=4, end_siz=8 -> 3->4->8->16->32 /16 + 1x1
+            p = 4
+            self.patch_embed.proj = nn.Module()
+            self.patch_embed.proj.stem = nn.Sequential(
+                nn.Conv2d(3, p, 3, stride=2, padding=1), LayerNorm2d(p, eps=1e-6), nn.GELU(),
+                nn.Conv2d(p, 2 * p, 3, stride=2, padding=1), LayerNorm2d(2 * p, eps=1e-6), nn.GELU(),
+                nn.Conv2d(2 * p, 4 * p, 3, stride=2, padding=1), LayerNorm2d(4 * p, eps=1e-6), nn.GELU(),
+                nn.Conv2d(4 * p, 8 * p, 3, stride=2, padding=1), LayerNorm2d(8 * p, eps=1e-6), nn.GELU(),
+                nn.Conv2d(8 * p, dim, 1, stride=1),
+            )
+        else:
+            self.patch_embed.proj = nn.Conv2d(3, dim, patch, stride=patch)
         self.blocks = nn.Sequential(*[TViTBlock(dim, heads) for _ in range(depth)])
         self.norm = nn.LayerNorm(dim, eps=1e-6)
         self.head = nn.Linear(dim, NCLS)
+        self._cvst = cvst
 
     def forward(self, x):
-        x = self.patch_embed.proj(x)
+        if self._cvst:
+            x = self.patch_embed.proj.stem(x)
+        else:
+            x = self.patch_embed.proj(x)
         B, D, H, W = x.shape
         x = x.flatten(2).transpose(1, 2)
         cls = self.cls_token.expand(B, -1, -1)
@@ -213,6 +230,22 @@ class TestViTImport:
                             train=False)["params"]
         params = to_param_tree(vit_from_torch(tm.state_dict()), target)
         x = np.random.RandomState(5).uniform(0, 1, (2, 3, 32, 32)).astype(np.float32)
+        _logits_close(tm, model, params, x, atol=5e-4)
+
+    def test_cvst_logits_parity(self):
+        """ViT + ConvStem — the paper's published-checkpoint format for the
+        ViT-CvSt rows (reference ConvBlock swapped into patch_embed.proj)."""
+        torch.manual_seed(12)
+        tm = TViT(cvst=True)
+        model, _ = get_model(
+            "vit_micro", not_original=True, num_classes=NCLS, dtype=jnp.float32
+        )
+        target = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                            train=False)["params"]
+        params = to_param_tree(
+            vit_from_torch(tm.state_dict(), not_original=True), target
+        )
+        x = np.random.RandomState(13).uniform(0, 1, (2, 3, 32, 32)).astype(np.float32)
         _logits_close(tm, model, params, x, atol=5e-4)
 
 
