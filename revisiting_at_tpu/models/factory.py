@@ -98,7 +98,8 @@ def get_model(
         cfg = dict(VIT_CFGS["s"])
         embed = partial(ConvStem, siz=48, end_siz=8) if not_original else None
         model = VisionTransformer(
-            embed_factory=embed, drop_path_rate=drop_path_rate, **cfg, **common
+            embed_factory=embed, drop_path_rate=drop_path_rate, remat=remat,
+            use_pallas=use_pallas, pallas_interpret=pallas_interpret, **cfg, **common
         )
         meta = ModelMeta(name, "vit")
 
@@ -106,7 +107,8 @@ def get_model(
         cfg = dict(VIT_CFGS["m"])
         embed = partial(ConvStem2, siz=48) if not_original else None
         model = VisionTransformer(
-            embed_factory=embed, drop_path_rate=drop_path_rate, **cfg, **common
+            embed_factory=embed, drop_path_rate=drop_path_rate, remat=remat,
+            use_pallas=use_pallas, pallas_interpret=pallas_interpret, **cfg, **common
         )
         meta = ModelMeta(name, "vit")
 
@@ -114,7 +116,8 @@ def get_model(
         cfg = dict(VIT_CFGS["b"])
         embed = partial(ConvStem, siz=48, end_siz=16, fin_dim=None) if not_original else None
         model = VisionTransformer(
-            embed_factory=embed, drop_path_rate=drop_path_rate, **cfg, **common
+            embed_factory=embed, drop_path_rate=drop_path_rate, remat=remat,
+            use_pallas=use_pallas, pallas_interpret=pallas_interpret, **cfg, **common
         )
         meta = ModelMeta(name, "vit")
 
@@ -133,7 +136,8 @@ def get_model(
         embed = partial(ConvStem, siz=4, end_siz=8) if not_original else None
         model = VisionTransformer(
             embed_dim=32, depth=2, num_heads=2, embed_factory=embed,
-            drop_path_rate=drop_path_rate, **common,
+            drop_path_rate=drop_path_rate, use_pallas=use_pallas,
+            pallas_interpret=pallas_interpret, **common,
         )
         meta = ModelMeta(name, "vit")
 

@@ -28,6 +28,10 @@ class Attention(nn.Module):
     num_heads: int
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    # fused Pallas attention kernel (ops/attention.py): QK^T -> softmax -> PV
+    # in one VMEM-resident grid step per (batch, head)
+    use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -43,10 +47,16 @@ class Attention(nn.Module):
         )(x)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, hd]
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
-        attn = attn * (head_dim**-0.5)
-        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, D)
+        if self.use_pallas:
+            from ..ops.attention import fused_attention
+
+            out = fused_attention(q, k, v, interpret=self.pallas_interpret)
+            out = out.reshape(B, N, D)
+        else:
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
+            attn = attn * (head_dim**-0.5)
+            attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, D)
         return nn.Dense(
             self.dim,
             dtype=self.dtype,
@@ -87,6 +97,8 @@ class ViTBlock(nn.Module):
     drop_path: float = 0.0
     init_values: float | None = None  # LayerScale (DeiT3 uses 1e-6)
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+    pallas_interpret: bool = False
 
     def _ls(self, name: str, x: jax.Array) -> jax.Array:
         if self.init_values is None:
@@ -99,7 +111,11 @@ class ViTBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         y = LayerNorm(dtype=self.dtype, name="norm1")(x)
-        y = Attention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(y)
+        y = Attention(
+            self.dim, self.num_heads, dtype=self.dtype,
+            use_pallas=self.use_pallas, pallas_interpret=self.pallas_interpret,
+            name="attn",
+        )(y)
         y = self._ls("ls1", y)
         x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic=not train)
         y = LayerNorm(dtype=self.dtype, name="norm2")(x)
@@ -131,6 +147,8 @@ class VisionTransformer(nn.Module):
     embed_factory: Callable[..., nn.Module] | None = None
     use_blurpool: bool = False
     remat: bool = False  # checkpoint each transformer block
+    use_pallas: bool = False  # fused attention kernel (ops/attention.py)
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -178,6 +196,8 @@ class VisionTransformer(nn.Module):
                 drop_path=dp[i],
                 init_values=self.init_values,
                 dtype=self.dtype,
+                use_pallas=self.use_pallas,
+                pallas_interpret=self.pallas_interpret,
                 name=f"block{i}",
             )(tokens, train)
 

@@ -1,0 +1,173 @@
+"""Pallas TPU kernel: fused multi-head self-attention (forward + VJP).
+
+Why: the XLA path materializes the f32 [B, H, N, N] attention scores and
+probabilities in HBM around the softmax (~10-15 ms of the 123 ms ViT-S@224
+AT step, PROFILE.md). At this workload's sequence lengths (197 tokens @224,
+401 @320) the whole per-(batch, head) problem fits VMEM, so no online
+(flash) softmax is needed: one grid step computes QKᵀ -> masked softmax ->
+PV entirely on-chip, reading Q/K/V once and writing O once.
+
+Backward (standard attention VJP, also all-in-VMEM per grid step):
+  dV = Pᵀ dO;  dP = dO Vᵀ;  dS = P ⊙ (dP - rowsum(dP ⊙ P));
+  dQ = dS K · scale;  dK = dSᵀ Q · scale
+This kernel has no weight cotangents, so it serves the attack closures
+(input-grad-only) and the training backward equally.
+
+Sequence padding: N is padded to a multiple of 8 (Mosaic sublane tiling);
+padded KEY columns are masked to -inf before the softmax, padded QUERY rows
+produce garbage that is sliced away. head_dim must be lane-tileable (64 ok).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _softmax_f32(s):
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid):
+    # statically unrolled loop over the heads in this block; input dtype is
+    # kept (bf16 for bf16 models), accumulation f32 via preferred_element_type
+    for g in range(q_ref.shape[0]):
+        q = q_ref[g]
+        k = k_ref[g]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        npad = s.shape[-1]
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, npad), 1)
+        s = jnp.where(col < n_valid, s, NEG_INF)
+        p = _softmax_f32(s)
+        o = jnp.dot(p.astype(q.dtype), v_ref[g],
+                    preferred_element_type=jnp.float32)
+        o_ref[g] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                *, scale, n_valid):
+    for g in range(q_ref.shape[0]):
+        q = q_ref[g]
+        k = k_ref[g]
+        v = v_ref[g]
+        do = do_ref[g].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        npad = s.shape[-1]
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, npad), 1)
+        s = jnp.where(col < n_valid, s, NEG_INF)
+        p = _softmax_f32(s)
+        p16 = p.astype(q.dtype)
+        do16 = do.astype(q.dtype)
+
+        dv = jax.lax.dot_general(
+            p16, do16, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do16, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds16 = (ds * scale).astype(q.dtype)
+        dq = jnp.dot(ds16, k, preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(
+            ds16, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dq_ref[g] = dq.astype(dq_ref.dtype)
+        dk_ref[g] = dk.astype(dk_ref.dtype)
+        dv_ref[g] = dv.astype(dv_ref.dtype)
+
+
+def _pad_n(x, npad):
+    n = x.shape[1]
+    if n == npad:
+        return x
+    return jnp.pad(x, ((0, 0), (0, npad - n), (0, 0)))
+
+
+def _pick_gtile(G, npad, hd):
+    """Heads per grid step: amortize per-step overhead; keep the f32
+    [npad, npad] probabilities + q/k/v/o blocks under ~8 MB VMEM."""
+    per_g = 4 * npad * npad + 8 * npad * hd
+    cap = max(1, 8_000_000 // per_g)
+    t = 1
+    for cand in range(1, min(G, cap) + 1):
+        if G % cand == 0:
+            t = cand
+    return t
+
+
+def _specs(gt, npad, hd):
+    return pl.BlockSpec((gt, npad, hd), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _attention_bhnd(q, k, v, scale, interpret):
+    return _fwd_impl(q, k, v, scale, interpret)
+
+
+def _fwd_impl(q, k, v, scale, interpret):
+    G, N, hd = q.shape
+    npad = -(-N // 8) * 8
+    gt = _pick_gtile(G, npad, hd)
+    qp, kp, vp = (_pad_n(t, npad) for t in (q, k, v))
+    sp = _specs(gt, npad, hd)
+    o = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, n_valid=N),
+        grid=(G // gt,),
+        in_specs=[sp, sp, sp],
+        out_specs=sp,
+        out_shape=jax.ShapeDtypeStruct((G, npad, hd), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return o[:, :N, :]
+
+
+def _vjp_fwd(q, k, v, scale, interpret):
+    return _fwd_impl(q, k, v, scale, interpret), (q, k, v)
+
+
+def _vjp_bwd(scale, interpret, res, do):
+    q, k, v = res
+    G, N, hd = q.shape
+    npad = -(-N // 8) * 8
+    gt = _pick_gtile(G, npad, hd)
+    qp, kp, vp, dop = (_pad_n(t, npad) for t in (q, k, v, do))
+    sp = _specs(gt, npad, hd)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, n_valid=N),
+        grid=(G // gt,),
+        in_specs=[sp, sp, sp, sp],
+        out_specs=(sp, sp, sp),
+        out_shape=tuple(jax.ShapeDtypeStruct((G, npad, hd), q.dtype) for _ in range(3)),
+        interpret=interpret,
+    )(qp, kp, vp, dop)
+    return dq[:, :N, :], dk[:, :N, :], dv[:, :N, :]
+
+
+_attention_bhnd.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def fused_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, *, interpret: bool = False
+) -> jax.Array:
+    """q/k/v: [B, N, H, head_dim] -> [B, N, H, head_dim] (softmax(QKᵀ/√d)V)."""
+    B, N, H, hd = q.shape
+    scale = hd ** -0.5
+
+    def to_g(t):
+        return t.transpose(0, 2, 1, 3).reshape(B * H, N, hd)
+
+    o = _attention_bhnd(to_g(q), to_g(k), to_g(v), scale, interpret)
+    return o.reshape(B, H, N, hd).transpose(0, 2, 1, 3)

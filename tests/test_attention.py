@@ -1,0 +1,82 @@
+"""Fused Pallas attention: numerical parity with the einsum/softmax path,
+forward and gradients (interpret mode on CPU), plus in-model equivalence
+for the ViT."""
+
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from revisiting_at_tpu.ops.attention import fused_attention
+
+
+def ref_attention(q, k, v):
+    hd = q.shape[-1]
+    attn = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(attn * hd**-0.5, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+
+
+def make_qkv(seed=0, b=2, n=197, h=3, hd=64):
+    rng = np.random.RandomState(seed)
+    mk = lambda: jnp.asarray(rng.randn(b, n, h, hd).astype(np.float32) * 0.5)
+    return mk(), mk(), mk()
+
+
+class TestFusedAttention:
+    @pytest.mark.parametrize("n", [8, 64, 197])  # incl. non-multiple-of-8
+    def test_forward_parity(self, n):
+        q, k, v = make_qkv(seed=1, n=n)
+        want = np.asarray(ref_attention(q, k, v))
+        got = np.asarray(fused_attention(q, k, v, interpret=True))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+    def test_gradient_parity(self):
+        q, k, v = make_qkv(seed=2, n=29)
+
+        def loss_f(f):
+            return lambda *a: jnp.sum(f(*a) ** 2)
+
+        g_ref = jax.grad(loss_f(ref_attention), argnums=(0, 1, 2))(q, k, v)
+        g_fused = jax.grad(
+            loss_f(lambda *a: fused_attention(*a, interpret=True)), argnums=(0, 1, 2)
+        )(q, k, v)
+        for name, a, b in zip("qkv", g_fused, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4,
+                err_msg=f"d{name}",
+            )
+
+    def test_in_model_equivalence(self):
+        """vit_micro with use_pallas(interpret) == without: logits and input
+        gradients."""
+        from revisiting_at_tpu.models import get_model
+
+        x = jnp.asarray(
+            np.random.RandomState(3).uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+        )
+        m_plain, _ = get_model("vit_micro", num_classes=7, dtype=jnp.float32)
+        m_fused, _ = get_model(
+            "vit_micro", num_classes=7, dtype=jnp.float32,
+            use_pallas=True, pallas_interpret=True,
+        )
+        variables = m_plain.init(jax.random.PRNGKey(0), x, train=False)
+        lp = m_plain.apply(variables, x, train=False)
+        lf = m_fused.apply(variables, x, train=False)
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(lp), atol=1e-4, rtol=1e-4)
+
+        def g(m):
+            return jax.grad(
+                lambda xx: jnp.sum(m.apply(variables, xx, train=False) ** 2)
+            )(x)
+
+        np.testing.assert_allclose(
+            np.asarray(g(m_fused)), np.asarray(g(m_plain)), atol=2e-4, rtol=1e-3
+        )
+
+
+if __name__ == "__main__":
+    sys.exit(pytest.main([__file__, "-x", "-q"]))
