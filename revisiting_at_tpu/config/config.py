@@ -131,6 +131,7 @@ class MiscSection:
     # NaN-loss exit with actionable tracing)
     profile_steps: int = 0
     debug_nans: int = 0
+    log_flops: int = 0  # FLOP table at model build (reference main.py:846-854)
 
 
 @dataclasses.dataclass

@@ -231,16 +231,25 @@ class Trainer:
         self.ckpt = CheckpointManager(self.logger.dir, save_freq=cfg.logging.save_freq)
         self.start_epoch = 0
 
-        self.logger.log(
-            {
-                "event": "init",
-                "arch": cfg.model.arch,
-                "params": param_count(params),
-                "devices": len(jax.devices()),
-                "mesh": dict(self.mesh.shape),
-                "iters_per_epoch": self.iters_per_epoch,
-            }
-        )
+        init_record = {
+            "event": "init",
+            "arch": cfg.model.arch,
+            "params": param_count(params),
+            "devices": len(jax.devices()),
+            "mesh": dict(self.mesh.shape),
+            "iters_per_epoch": self.iters_per_epoch,
+        }
+        if cfg.misc.log_flops:
+            # the reference's fvcore FLOP table at model build (main.py:846-854);
+            # opt-in: costs one extra eval-mode compile on the tunnel
+            from ..utils.flops import forward_flops
+
+            init_record["forward_flops"] = forward_flops(
+                self.model, {"params": params} if batch_stats is None
+                else {"params": params, "batch_stats": batch_stats},
+                input_shape=(1, res, res, 3),
+            )
+        self.logger.log(init_record)
 
     # ------------------------------------------------------------- resume
     def try_resume(self) -> bool:
@@ -272,18 +281,21 @@ class Trainer:
     def single_val(self) -> tuple[float, int]:
         """Clean accuracy on <=max_batches val batches (main.py:897-939).
         `correct` and `total` are global under multi-host: eval_step sums
-        top1 over the globally-sharded batch, and labels.shape[0] is the
-        global batch size of the assembled array."""
+        top1/top5 over the globally-sharded batch, and labels.shape[0] is
+        the global batch size of the assembled array."""
         correct = 0
+        correct5 = 0
         total = 0
         for i, (images, labels) in enumerate(self.val_data):
             images, labels = self._put_batch(images, labels)
-            top1, _ = self.eval_step(self.state, images, labels)
+            top1, top5 = self.eval_step(self.state, images, labels)
             correct += int(top1)
+            correct5 += int(top5)
             total += labels.shape[0]
             if i + 1 >= self.cfg.validation.max_batches:
                 break  # cap at max_batches processed (main.py:928-929)
         acc = correct / max(total, 1)
+        self._last_top5 = correct5 / max(total, 1)
         return acc, total
 
     # ------------------------------------------------------------ training
@@ -309,7 +321,7 @@ class Trainer:
     def train(self) -> None:
         cfg = self.cfg
         acc, n = self.single_val()
-        self.logger.log({"Validation acc": acc, "points": n})
+        self.logger.log({"Validation acc": acc, "top5": self._last_top5, "points": n})
 
         for epoch in range(self.start_epoch, cfg.training.epochs):
             res = get_resolution(
@@ -342,5 +354,6 @@ class Trainer:
             self.ckpt.maybe_save(epoch, self.state, last=last)
 
         acc, n = self.single_val()
-        self.logger.log({"event": "final_val", "Validation acc": acc, "points": n})
+        self.logger.log({"event": "final_val", "Validation acc": acc,
+                         "top5": self._last_top5, "points": n})
         self.ckpt.wait()
