@@ -1,16 +1,34 @@
-"""Square attack (Andriushchenko et al. 2020) — Linf, query-based, no grads.
+"""Square attack (Andriushchenko et al. 2020) — Linf/L2/L1, query-based.
 
 The 4th attack of standard AutoAttack (5000 queries, p_init=0.8,
-margin-loss acceptance). TPU-first: ONE jitted `lax.scan` over queries with
-per-sample state {x_best, margin_min, loss_min}; per-sample random squares
-are built as iota-mask windows (static shapes), already-misclassified
-points are frozen by masking. The reference gets this from the autoattack
-library (AA_eval.py:226-239).
+margin-loss acceptance). The reference gets this from the autoattack
+library (AA_eval.py:226-239); this module re-implements the official
+algorithms TPU-first: ONE jitted `lax.scan` over queries with per-sample
+state {x_best, margin_min, loss_min}, static shapes throughout. The
+official algorithm's dynamic square size s(it) is handled by evaluating
+the "eta" pyramid pattern analytically on iota grids (see `_eta_value`)
+instead of materializing an s×s tile, and its `idx_to_fool` filtering is
+replaced by freezing already-misclassified rows under a mask — identical
+trajectories, no dynamic shapes.
+
+Parity: `evals/square_oracle.py` is an eager NumPy-style transcription of
+the official torch code (dynamic slices, python loops) consuming the SAME
+random draws (`_iter_randoms` / `_init_randoms`); tests/test_square_l2.py
+asserts trajectory equality between the two.
+
+Documented deviations from the official library:
+- Linf: the official per-image "resample the window until the candidate
+  actually differs" while-loop (square.py Linf branch) is skipped — it
+  only avoids wasted queries, never changes accepted iterates.
+- Acceptance is strict improvement of the margin loss with broken rows
+  frozen, matching the official update applied to `idx_to_fool`.
 """
 
 from __future__ import annotations
 
 from typing import Callable
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -39,28 +57,119 @@ def _p_selection(p_init: float, it: Array) -> Array:
     return p_init / divisors[idx]
 
 
-def _pyramid(s: int) -> jnp.ndarray:
-    """Pseudo-gaussian pyramid pattern of the L2 Square attack: concentric
-    squares from the center weighted 1/(k+1)^2, unit L2 norm; for even s the
-    two halves get opposite signs (zero-mean)."""
-    import numpy as np
+# ---------------------------------------------------------------------------
+# Official "eta" pyramid pattern, evaluated analytically.
+#
+# eta_rectangles(x, y)[i, j] accumulates 1/(k+1)^2 over growing
+# (2k+1)-sized squares anchored at the center (x_c-1, y_c-1) with
+# x_c = x//2 + 1: cell (i, j) is covered by counter k iff
+# k >= max(x_c-1-i, i-x_c+1, y_c-1-j, j-y_c+1, 0), so its value is the
+# tail sum of 1/(k+1)^2 from that k0 to max(x_c, y_c)-1, then the
+# rectangle is L2-normalized. eta(s) stacks [eta_rect(s//2, s);
+# -eta_rect(s-s//2, s)], L2-normalizes again, and transposes with prob 1/2.
+# ---------------------------------------------------------------------------
 
-    p = np.asarray(_pyramid_odd(s if s % 2 else s + 1))[:s, :s]
-    if s % 2 == 0:
-        p[s // 2 :] *= -1.0  # zero-mean for even sizes
-    p = p / np.sqrt((p**2).sum() + 1e-12)
-    return jnp.asarray(p, jnp.float32)
+
+def _tail_table(n: int) -> jnp.ndarray:
+    """tail[k] = sum_{m=k}^{n-1} 1/(m+1)^2, length n+1 (tail[n]=0)."""
+    inv = 1.0 / (np.arange(1, n + 1, dtype=np.float64) ** 2)
+    tail = np.concatenate([np.cumsum(inv[::-1])[::-1], [0.0]])
+    return jnp.asarray(tail, jnp.float32)
 
 
-def _pyramid_odd(s: int):
-    import numpy as np
+def _rect_value(i, j, x, y, tail):
+    """eta_rectangles(x, y) evaluated at (possibly out-of-range) integer
+    grids i, j — zero outside [0,x)×[0,y); NOT yet normalized."""
+    x_c = x // 2 + 1
+    y_c = y // 2 + 1
+    k0 = jnp.maximum(
+        jnp.maximum(x_c - 1 - i, i - x_c + 1),
+        jnp.maximum(y_c - 1 - j, j - y_c + 1),
+    )
+    k0 = jnp.maximum(k0, 0)
+    kmax = jnp.maximum(x_c, y_c)
+    val = tail[jnp.minimum(k0, tail.shape[0] - 1)] - tail[jnp.minimum(kmax, tail.shape[0] - 1)]
+    inside = (i >= 0) & (i < x) & (j >= 0) & (j < y)
+    return jnp.where(inside, jnp.maximum(val, 0.0), 0.0)
 
-    delta = np.zeros((s, s), np.float64)
-    c = s // 2
-    for k in range(c + 1):
-        lo, hi = c - k, c + k + 1
-        delta[lo:hi, lo:hi] += 1.0 / (k + 1) ** 2
+
+def _eta_value(di, dj, s, tail, transpose):
+    """Official eta(s) pattern evaluated at offsets (di, dj) from the
+    window corner; unit L2 norm over its support. `transpose` is the
+    per-call coin (pattern.T == evaluating at swapped offsets)."""
+    di, dj = (
+        jnp.where(transpose, dj, di),
+        jnp.where(transpose, di, dj),
+    )
+    top_raw = _rect_value(di, dj, s // 2, s, tail)
+    top = top_raw / jnp.sqrt(jnp.sum(top_raw**2) + 1e-30)
+    bot_raw = _rect_value(di - s // 2, dj, s - s // 2, s, tail)
+    bot = bot_raw / jnp.sqrt(jnp.sum(bot_raw**2) + 1e-30)
+    e = top - bot
+    return e / jnp.sqrt(jnp.sum(e**2) + 1e-30)
+
+
+# ---------------------------------------------------------------------------
+# Shared random draws — consumed identically by the jitted scan and the
+# eager oracle so trajectories can be compared exactly.
+# ---------------------------------------------------------------------------
+
+
+def _rand_int(u, high):
+    """Official random_int(0, high): floor(u * high) — note the official
+    helper never returns `high` itself (window never at the last slot)."""
+    return jnp.floor(u * high).astype(jnp.int32)
+
+
+def _iter_randoms(k_loop: Array, it, b: int, c: int):
+    """Per-iteration draws for the L2/L1 loops, in a fixed order:
+    (u_vh, u_vw, u_vh2, u_vw2) scalars in [0,1), per-(sample, channel)
+    sign ±1, and the eta transpose coin."""
+    k = jax.random.fold_in(k_loop, it)
+    kw, ks, kt = jax.random.split(k, 3)
+    u = jax.random.uniform(kw, (4,))
+    signs = jnp.where(jax.random.bernoulli(ks, 0.5, (b, 1, 1, c)), 1.0, -1.0)
+    transpose = jax.random.bernoulli(kt, 0.5)
+    return u, signs, transpose
+
+
+def _init_randoms(k_init: Array, b: int, c: int, n_tiles: int):
+    """Init-grid draws: per-tile transpose coins and per-(tile, sample,
+    channel) ±1 signs (official: fresh eta() + random_choice per tile)."""
+    kt, ks = jax.random.split(k_init)
+    coins = jax.random.bernoulli(kt, 0.5, (n_tiles,))
+    signs = jnp.where(
+        jax.random.bernoulli(ks, 0.5, (n_tiles, b, 1, 1, c)), 1.0, -1.0
+    )
+    return coins, signs
+
+
+def _grid_init(x: Array, k_init: Array, tail) -> Array:
+    """Official L2/L1 init: tile the image with eta(h//5) patterns times
+    per-(sample, channel) random signs (square.py init grid), UNNORMALIZED
+    — callers scale onto their sphere."""
+    b, h, w, c = x.shape
+    s0 = max(h // 5, 2)  # official: h // 5 (guarded for tiny test images)
+    n_h, n_w = h // s0, w // s0
+    sp_h, sp_w = (h - n_h * s0) // 2, (w - n_w * s0) // 2
+    coins, signs = _init_randoms(k_init, b, c, n_h * n_w)
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, (1, h, w, 1), 1)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (1, h, w, 1), 2)
+    delta = jnp.zeros((b, h, w, c), jnp.float32)
+    t = 0
+    for ih in range(n_h):
+        for iw in range(n_w):
+            vh, vw = sp_h + ih * s0, sp_w + iw * s0
+            pat = _eta_value(ys - vh, xs - vw, s0, tail, coins[t])
+            delta = delta + pat * signs[t]
+            t += 1
     return delta
+
+
+# ---------------------------------------------------------------------------
+# Attacks
+# ---------------------------------------------------------------------------
 
 
 def square_attack_l2(
@@ -73,31 +182,21 @@ def square_attack_l2(
     p_init: float = 0.8,
     rng: Array | None = None,
 ) -> tuple[Array, Array]:
-    """L2 Square attack: maintains ||delta||_2 <= eps by moving perturbation
-    mass between two random windows each query, writing a pyramid ("eta")
-    pattern scaled to the freed budget into the first window (Andriushchenko
-    et al. 2020, Algorithm 3 semantics; the even-size eta construction is a
-    documented zero-mean variant)."""
+    """Official L2 Square attack (autoattack square.py L2 branch): one
+    batch-shared window pair per query; window 2's mass is freed, window 1
+    is overwritten with (eta·signs + unit-normalized old content) scaled to
+    the per-channel budget sqrt(max(eps²-‖δ‖²,0)/c + ‖δ·maskᵤ‖²); the full
+    perturbation is then renormalized onto the eps sphere."""
     assert rng is not None
     b, h, w, c = x.shape
     x = x.astype(jnp.float32)
-    d = h * w * c
+    n_features = h * w * c
+    tail = _tail_table(h + 2)
 
-    # init: full-budget pyramid tiles of size h//5 with random signs
     k_init, k_loop = jax.random.split(rng)
-    s0 = max(h // 5, 2)
-    tile = _pyramid(s0)
-    reps_h = (h + s0 - 1) // s0
-    reps_w = (w + s0 - 1) // s0
-    pat = jnp.tile(tile, (reps_h, reps_w))[:h, :w]
-    signs = jnp.where(
-        jax.random.bernoulli(k_init, 0.5, (b, reps_h, reps_w, c)), 1.0, -1.0
-    )
-    signs = jnp.repeat(jnp.repeat(signs, s0, axis=1), s0, axis=2)[:, :h, :w, :]
-    delta = pat[None, :, :, None] * signs
+    delta = _grid_init(x, k_init, tail)
     nrm = jnp.sqrt(jnp.sum(delta**2, axis=(1, 2, 3), keepdims=True))
-    delta = delta / (nrm + 1e-12) * eps
-    x_best = jnp.clip(x + delta, 0.0, 1.0)
+    x_best = jnp.clip(x + delta / (nrm + 1e-12) * eps, 0.0, 1.0)
     margin_min, loss_min = _margin_loss(logits_fn(x_best), y)
 
     ys = jax.lax.broadcasted_iota(jnp.int32, (1, h, w, 1), 1)
@@ -105,44 +204,47 @@ def square_attack_l2(
 
     def body(carry, it):
         x_best, margin_min, loss_min = carry
-        k = jax.random.fold_in(k_loop, it)
-        k_pos1, k_pos2, k_sign = jax.random.split(k, 3)
+        u, signs, transpose = _iter_randoms(k_loop, it, b, c)
 
         p = _p_selection(p_init, it)
-        s = jnp.clip(jnp.round(jnp.sqrt(p * h * w / c)).astype(jnp.int32), 3, h - 1)
-        delta = x_best - x  # true perturbation incl. past clipping
+        s = jnp.maximum(
+            jnp.round(jnp.sqrt(p * n_features / c)).astype(jnp.int32), 3
+        )
+        s = jnp.minimum(s + (1 - s % 2), h - 1)  # official: odd s
+        vh, vw = _rand_int(u[0], h - s), _rand_int(u[1], w - s)
+        vh2, vw2 = _rand_int(u[2], h - s), _rand_int(u[3], w - s)
+        w1 = (ys >= vh) & (ys < vh + s) & (xs >= vw) & (xs < vw + s)
+        w2 = (ys >= vh2) & (ys < vh2 + s) & (xs >= vw2) & (xs < vw2 + s)
 
-        def window(kk):
-            vh = jax.random.randint(kk, (b, 1, 1, 1), 0, h - s + 1)
-            vw = jax.random.randint(jax.random.fold_in(kk, 1), (b, 1, 1, 1), 0, w - s + 1)
-            return (ys >= vh) & (ys < vh + s) & (xs >= vw) & (xs < vw + s), vh, vw
+        delta = x_best - x
+        norms_window_1 = jnp.sqrt(
+            jnp.sum(jnp.where(w1, delta, 0.0) ** 2, axis=(1, 2), keepdims=True)
+        )
+        norms_image = jnp.sqrt(
+            jnp.sum(delta**2, axis=(1, 2, 3), keepdims=True)
+        )
+        mask_image = w1 | w2
+        norms_windows = jnp.sqrt(
+            jnp.sum(jnp.where(mask_image, delta, 0.0) ** 2, axis=(1, 2), keepdims=True)
+        )
 
-        w1, vh1, vw1 = window(k_pos1)
-        w2, _, _ = window(k_pos2)
-        w2 = w2 & ~w1  # donor window must not erase the new content
+        eta = _eta_value(ys - vh, xs - vw, s, tail, transpose)
+        new_deltas = eta * signs
+        old_deltas = jnp.where(w1, delta, 0.0) / (1e-12 + norms_window_1)
+        new_deltas = new_deltas + old_deltas
+        new_norm = jnp.sqrt(
+            jnp.sum(jnp.where(w1, new_deltas, 0.0) ** 2, axis=(1, 2), keepdims=True)
+        )
+        budget = jnp.sqrt(
+            jnp.maximum(eps**2 - norms_image**2, 0.0) / c + norms_windows**2
+        )
+        new_deltas = new_deltas / (1e-12 + new_norm) * budget
 
-        n_all = jnp.sum(delta**2, axis=(1, 2, 3))
-        n_w1 = jnp.sum(jnp.where(w1, delta, 0.0) ** 2, axis=(1, 2, 3))
-        n_w2 = jnp.sum(jnp.where(w2, delta, 0.0) ** 2, axis=(1, 2, 3))
-        budget = jnp.sqrt(jnp.maximum(eps**2 - n_all + n_w1 + n_w2, 0.0))
-
-        # eta pattern placed at W1 via gather-free roll: build a full-size map
-        # by scaling the (max-size) pyramid; use dynamic slice-fill via masks
-        # with distance-from-corner indexing
-        dy = ys - vh1
-        dxx = xs - vw1
-        # pyramid value at (dy, dxx) for size s: concentric L_inf rings
-        ring = jnp.maximum(jnp.abs(dy - (s - 1) / 2.0), jnp.abs(dxx - (s - 1) / 2.0))
-        k_ring = jnp.ceil(ring - 0.01).astype(jnp.int32)
-        eta = jnp.where(w1, 1.0 / (k_ring.astype(jnp.float32) + 1.0) ** 2, 0.0)
-        ch_sign = jnp.where(jax.random.bernoulli(k_sign, 0.5, (b, 1, 1, c)), 1.0, -1.0)
-        eta = eta * ch_sign
-        eta_n = jnp.sqrt(jnp.sum(eta**2, axis=(1, 2, 3), keepdims=True))
-        eta = eta / (eta_n + 1e-12) * budget[:, None, None, None]
-
-        cand_delta = jnp.where(w2, 0.0, delta)
-        cand_delta = jnp.where(w1, eta, cand_delta)
-        cand = jnp.clip(x + cand_delta, 0.0, 1.0)
+        cand_delta = jnp.where(w1, new_deltas, jnp.where(w2, 0.0, delta))
+        cand_nrm = jnp.sqrt(
+            jnp.sum(cand_delta**2, axis=(1, 2, 3), keepdims=True)
+        )
+        cand = jnp.clip(x + cand_delta / (cand_nrm + 1e-12) * eps, 0.0, 1.0)
 
         margin_c, loss_c = _margin_loss(logits_fn(cand), y)
         improved = loss_c < loss_min
@@ -169,28 +271,28 @@ def square_attack_l1(
     p_init: float = 0.8,
     rng: Array | None = None,
 ) -> tuple[Array, Array]:
-    """L1 Square attack (the autoattack library's L1 extension of
-    Andriushchenko et al.; completes --l_norms L1 --full_aa 1, reference
-    eps table AA_eval.py:33 L1=75).
+    """Official L1 Square attack (autoattack square.py L1 branch — the
+    variant added for 'Mind the box' L1 robustness; completes
+    --l_norms L1 --full_aa 1, reference eps table AA_eval.py:33 L1=75).
 
-    Per query: write a random ±-signed square carrying a large fraction of
-    the L1 budget into a random window of the current perturbation, then
-    project exactly onto the L1 ball ∩ [0,1] box (ops/norms.l1_projection —
-    the projection soft-thresholds, keeping the perturbation sparse, which
-    is the essence of the official L1 variant). Margin-loss acceptance and
-    frozen already-broken points as in the Linf/L2 variants."""
+    Mirrors the L2 branch with L1 norms: window 2's L1 mass is freed,
+    window 1 gets (eta·signs + L1-unit old content) scaled to the
+    per-channel L1 budget max(eps-‖δ‖₁,0)/c + ‖δ·maskᵤ‖₁, and the result
+    is projected EXACTLY onto the L1 ball ∩ box via ops/norms.l1_projection
+    (the official library's L1_projection, reference
+    autopgd_train_clean.py:24-91)."""
     from ..ops.norms import l1_projection
 
     assert rng is not None
     b, h, w, c = x.shape
     x = x.astype(jnp.float32)
+    n_features = h * w * c
+    tail = _tail_table(h + 2)
 
     k_init, k_loop = jax.random.split(rng)
-    # init: vertical ±stripes scaled onto the L1 sphere, then projected
-    stripes = jnp.where(jax.random.bernoulli(k_init, 0.5, (b, 1, w, c)), 1.0, -1.0)
-    delta = jnp.broadcast_to(stripes, x.shape)
+    delta = _grid_init(x, k_init, tail)
     nrm = jnp.sum(jnp.abs(delta), axis=(1, 2, 3), keepdims=True)
-    delta = delta / nrm * eps
+    delta = delta / (nrm + 1e-12) * eps
     delta = delta + l1_projection(x, delta, eps)
     x_best = jnp.clip(x + delta, 0.0, 1.0)
     margin_min, loss_min = _margin_loss(logits_fn(x_best), y)
@@ -200,22 +302,41 @@ def square_attack_l1(
 
     def body(carry, it):
         x_best, margin_min, loss_min = carry
-        k = jax.random.fold_in(k_loop, it)
-        k_pos, k_sign, k_mag = jax.random.split(k, 3)
+        u, signs, transpose = _iter_randoms(k_loop, it, b, c)
 
         p = _p_selection(p_init, it)
-        s = jnp.clip(jnp.round(jnp.sqrt(p * h * w)).astype(jnp.int32), 1, h - 1)
-        vh = jax.random.randint(k_pos, (b, 1, 1, 1), 0, h - s + 1)
-        vw = jax.random.randint(jax.random.fold_in(k_pos, 1), (b, 1, 1, 1), 0, w - s + 1)
-        window = (ys >= vh) & (ys < vh + s) & (xs >= vw) & (xs < vw + s)
+        s = jnp.maximum(
+            jnp.round(jnp.sqrt(p * n_features / c)).astype(jnp.int32), 3
+        )
+        s = jnp.minimum(s + (1 - s % 2), h - 1)  # official: odd s
+        vh, vw = _rand_int(u[0], h - s), _rand_int(u[1], w - s)
+        vh2, vw2 = _rand_int(u[2], h - s), _rand_int(u[3], w - s)
+        w1 = (ys >= vh) & (ys < vh + s) & (xs >= vw) & (xs < vw + s)
+        w2 = (ys >= vh2) & (ys < vh2 + s) & (xs >= vw2) & (xs < vw2 + s)
 
-        # write a ±window carrying ~half the budget into the current delta
         delta = x_best - x
-        signs = jnp.where(jax.random.bernoulli(k_sign, 0.5, (b, 1, 1, c)), 1.0, -1.0)
-        frac = jax.random.uniform(k_mag, (b, 1, 1, 1), minval=0.3, maxval=0.7)
-        n_win = (s * s * c).astype(jnp.float32)
-        mag = frac * eps / jnp.maximum(n_win, 1.0)
-        cand_delta = jnp.where(window, delta + signs * mag, delta)
+        norms_window_1 = jnp.sum(
+            jnp.abs(jnp.where(w1, delta, 0.0)), axis=(1, 2), keepdims=True
+        )
+        norms_image = jnp.sum(
+            jnp.abs(delta), axis=(1, 2, 3), keepdims=True
+        )
+        mask_image = w1 | w2
+        norms_windows = jnp.sum(
+            jnp.abs(jnp.where(mask_image, delta, 0.0)), axis=(1, 2), keepdims=True
+        )
+
+        eta = _eta_value(ys - vh, xs - vw, s, tail, transpose)
+        new_deltas = eta * signs
+        old_deltas = jnp.where(w1, delta, 0.0) / (1e-12 + norms_window_1)
+        new_deltas = new_deltas + old_deltas
+        new_norm = jnp.sum(
+            jnp.abs(jnp.where(w1, new_deltas, 0.0)), axis=(1, 2), keepdims=True
+        )
+        budget = jnp.maximum(eps - norms_image, 0.0) / c + norms_windows
+        new_deltas = new_deltas / (1e-12 + new_norm) * budget
+
+        cand_delta = jnp.where(w1, new_deltas, jnp.where(w2, 0.0, delta))
         cand_delta = cand_delta + l1_projection(x, cand_delta, eps)
         cand = jnp.clip(x + cand_delta, 0.0, 1.0)
 
@@ -280,7 +401,7 @@ def square_attack(
         s = jnp.clip(
             jnp.round(jnp.sqrt(p * h * w)).astype(jnp.int32), 1, h - 1
         )
-        # per-sample square position
+        # per-sample square position (official Linf branch is per-image)
         vh = jax.random.randint(k_pos, (b, 1, 1, 1), 0, h - s + 1)
         vw = jax.random.randint(jax.random.fold_in(k_pos, 1), (b, 1, 1, 1), 0, w - s + 1)
         window = (ys >= vh) & (ys < vh + s) & (xs >= vw) & (xs < vw + s)
