@@ -183,6 +183,52 @@ def vit_from_torch(sd: Mapping[str, Any], *, not_original: bool = False,
     return out
 
 
+def resnet_from_torch(
+    sd: Mapping[str, Any],
+) -> tuple[dict[str, np.ndarray], dict[str, np.ndarray]]:
+    """torchvision/timm ResNet-bottleneck state_dict (resnet50/101,
+    wide_resnet50_2 — the reference's BN family,
+    utils_architecture.py:303-308) -> (flat params, flat batch_stats) for
+    our models/resnet.py tree.
+
+    torch `layer{L}.{b}` maps to `stage{L-1}_block{b}`; each BatchNorm
+    splits into params {scale, bias} and batch_stats {mean, var};
+    `num_batches_tracked` buffers are dropped."""
+    sd = strip_prefixes(sd)
+    params: dict[str, np.ndarray] = {}
+    stats: dict[str, np.ndarray] = {}
+
+    def bn(src: str, dst: str) -> None:
+        params[f"{dst}/scale"] = sd[f"{src}.weight"]
+        params[f"{dst}/bias"] = sd[f"{src}.bias"]
+        stats[f"{dst}/mean"] = sd[f"{src}.running_mean"]
+        stats[f"{dst}/var"] = sd[f"{src}.running_var"]
+
+    params["conv1/kernel"] = _conv(sd["conv1.weight"])
+    bn("bn1", "bn1")
+
+    layers = sorted(
+        {int(k.split(".")[0][len("layer"):]) for k in sd if k.startswith("layer")}
+    )
+    for L in layers:
+        blocks = sorted({int(k.split(".")[1]) for k in sd if k.startswith(f"layer{L}.")})
+        for b in blocks:
+            src = f"layer{L}.{b}"
+            dst = f"stage{L - 1}_block{b}"
+            for i in (1, 2, 3):
+                params[f"{dst}/conv{i}/kernel"] = _conv(sd[f"{src}.conv{i}.weight"])
+                bn(f"{src}.bn{i}", f"{dst}/bn{i}")
+            if f"{src}.downsample.0.weight" in sd:
+                params[f"{dst}/downsample_conv/kernel"] = _conv(
+                    sd[f"{src}.downsample.0.weight"]
+                )
+                bn(f"{src}.downsample.1", f"{dst}/downsample_bn")
+
+    params["fc/kernel"] = _lin(sd["fc.weight"])
+    params["fc/bias"] = sd["fc.bias"]
+    return params, stats
+
+
 def to_param_tree(flat: dict[str, np.ndarray], target_params: Any) -> Any:
     """Unflatten {'a/b/c': arr} into the structure of `target_params`,
     verifying every target leaf is covered and shapes match."""
@@ -217,18 +263,32 @@ def merge_param_tree(flat: dict[str, np.ndarray], target_params: Any) -> tuple[A
 
     tgt_flat = flax.traverse_util.flatten_dict(target_params, sep="/")
     out = {}
-    loaded, kept = [], []
+    loaded, kept, shape_mismatch = [], [], []
     for k, tgt in tgt_flat.items():
         v = flat.get(k)
-        if v is not None and int(np.prod(v.shape)) == int(np.prod(tgt.shape)):
-            out[k] = jnp.asarray(v.reshape(tgt.shape), tgt.dtype)
+        # exact shape equality: the mappers emit target-layout arrays, so a
+        # size-equal/shape-unequal leaf means a transposed matrix slipped
+        # through a partial mapper — keep the random init instead of loading
+        # silently corrupted weights
+        if v is not None and tuple(v.shape) == tuple(tgt.shape):
+            out[k] = jnp.asarray(v, tgt.dtype)
             loaded.append(k)
         else:
+            if v is not None:
+                shape_mismatch.append((k, tuple(v.shape), tuple(tgt.shape)))
             out[k] = tgt
             kept.append(k)
+    if shape_mismatch:
+        import warnings
+
+        warnings.warn(
+            f"merge_param_tree: {len(shape_mismatch)} source leaves had "
+            f"mismatched shapes and were kept random, e.g. {shape_mismatch[:3]}"
+        )
     report = {
         "loaded": loaded,
         "kept_random": kept,
+        "shape_mismatch": shape_mismatch,
         "dropped_source": sorted(set(flat) - set(tgt_flat)),
     }
     return flax.traverse_util.unflatten_dict(out, sep="/"), report
@@ -378,13 +438,31 @@ def vit_from_torch_partial(sd: Mapping[str, Any]) -> dict[str, np.ndarray]:
 
 
 def load_torch_checkpoint(path: str, model_name: str, target_params: Any,
-                          *, not_original: bool = False) -> Any:
-    """Load a reference .pt checkpoint file into our param tree."""
+                          *, not_original: bool = False,
+                          target_batch_stats: Any = None) -> Any:
+    """Load a reference .pt checkpoint file into our param tree.
+
+    Returns the params tree; for the BN family (resnet50/resnet50_gelu/
+    resnet101/wrn_50_2) pass `target_batch_stats` and a
+    (params, batch_stats) pair is returned instead — torch running stats
+    live in our mutable `batch_stats` collection, not in params.
+    densenet201/inception have no torch mapping yet (documented exclusion:
+    the reference builds them timm-pretrained, utils_architecture.py:313-322,
+    but publishes no robust checkpoints for them)."""
     import torch
 
     sd = torch.load(path, map_location="cpu")
     if isinstance(sd, dict) and "model_state_dict" in sd:  # full_model_*.pth
         sd = sd["model_state_dict"]
+    if model_name in ("resnet50", "resnet50_gelu", "resnet101", "wrn_50_2"):
+        assert target_batch_stats is not None, (
+            "BN-family import needs target_batch_stats"
+        )
+        flat_p, flat_s = resnet_from_torch(sd)
+        return (
+            to_param_tree(flat_p, target_params),
+            to_param_tree(flat_s, target_batch_stats),
+        )
     if model_name.startswith("convnext"):
         # base/large use ConvStem3 (reference :262,269); tiny/small/micro ConvStem1
         stem_mod = (

@@ -119,19 +119,28 @@ def main(argv=None):
         # published-checkpoint bridge (reference main.py:856-872 semantics)
         from ..ckpt.torch_import import load_torch_checkpoint
 
-        target = jax.eval_shape(
+        target_vars = jax.eval_shape(
             lambda: model.init(
                 jax.random.PRNGKey(0),
                 jnp.zeros((1, 224, 224, 3), jnp.float32),
                 train=False,
             )
-        )["params"]
-        target = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), target)
-        params = load_torch_checkpoint(
-            args.torch_ckpt, cfg.model.arch, target,
-            not_original=bool(cfg.model.not_original),
         )
-        batch_stats = None
+        target_vars = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), target_vars
+        )
+        if meta.has_batch_stats:
+            params, batch_stats = load_torch_checkpoint(
+                args.torch_ckpt, cfg.model.arch, target_vars["params"],
+                not_original=bool(cfg.model.not_original),
+                target_batch_stats=target_vars["batch_stats"],
+            )
+        else:
+            params = load_torch_checkpoint(
+                args.torch_ckpt, cfg.model.arch, target_vars["params"],
+                not_original=bool(cfg.model.not_original),
+            )
+            batch_stats = None
     else:
         # restore checkpoint via orbax
         import orbax.checkpoint as ocp

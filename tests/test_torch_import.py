@@ -324,5 +324,156 @@ class TestPretrainedInit:
         _logits_close(tm, model, params, x, atol=5e-4)
 
 
+class TTorchBottleneck(nn.Module):
+    """torchvision Bottleneck with exact naming (conv1/bn1/.../downsample)."""
+
+    def __init__(self, cin, width, cout, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, width, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.conv2 = nn.Conv2d(width, width, 3, stride=stride, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(width)
+        self.conv3 = nn.Conv2d(width, cout, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(cout)
+        self.relu = nn.ReLU()
+        if stride != 1 or cin != cout:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride=stride, bias=False),
+                nn.BatchNorm2d(cout),
+            )
+        else:
+            self.downsample = None
+
+    def forward(self, x):
+        identity = x if self.downsample is None else self.downsample(x)
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return self.relu(identity + y)
+
+
+class TResNet(nn.Module):
+    """Mini torchvision-style bottleneck ResNet (layer1..4, fc naming)."""
+
+    def __init__(self, stage_sizes=(1, 1, 1, 1), width_factor=1, ncls=NCLS):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU()
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        cin = 64
+        for si, n_blocks in enumerate(stage_sizes):
+            width = 64 * (2**si) * width_factor
+            cout = 64 * (2**si) * 4
+            blocks = []
+            for bi in range(n_blocks):
+                blocks.append(
+                    TTorchBottleneck(
+                        cin, width, cout, stride=2 if (si > 0 and bi == 0) else 1
+                    )
+                )
+                cin = cout
+            setattr(self, f"layer{si + 1}", nn.Sequential(*blocks))
+        self.fc = nn.Linear(cin, ncls)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        for si in range(4):
+            x = getattr(self, f"layer{si + 1}")(x)
+        x = x.mean(dim=(2, 3))
+        return self.fc(x)
+
+
+class TestResNetImport:
+    """BN-family torch import (VERDICT r2 item 6): params + running stats
+    both map; reference builds these timm-pretrained
+    (utils_architecture.py:303-308)."""
+
+    @pytest.mark.parametrize("width_factor", [1, 2])
+    def test_logits_parity(self, width_factor):
+        from revisiting_at_tpu.ckpt.torch_import import resnet_from_torch
+        from revisiting_at_tpu.models.resnet import ResNet
+
+        torch.manual_seed(20 + width_factor)
+        tm = TResNet(width_factor=width_factor)
+        # populate non-trivial running stats, then freeze
+        tm.train()
+        with torch.no_grad():
+            for i in range(3):
+                tm(torch.rand(4, 3, 32, 32))
+        tm.eval()
+
+        model = ResNet(
+            stage_sizes=(1, 1, 1, 1), width_factor=width_factor,
+            num_classes=NCLS, dtype=jnp.float32,
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False
+        )
+        flat_p, flat_s = resnet_from_torch(tm.state_dict())
+        params = to_param_tree(flat_p, variables["params"])
+        stats = to_param_tree(flat_s, variables["batch_stats"])
+
+        with torch.no_grad():
+            x = np.random.RandomState(21).uniform(0, 1, (2, 3, 32, 32)).astype(np.float32)
+            ref = tm(torch.from_numpy(x)).numpy()
+        ours = np.asarray(
+            model.apply(
+                {"params": params, "batch_stats": stats},
+                jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                train=False,
+            )
+        )
+        np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
+
+    def test_load_torch_checkpoint_roundtrip(self, tmp_path):
+        """Full-file path incl. the DDP/wrapper prefix cascade."""
+        from revisiting_at_tpu.ckpt.torch_import import load_torch_checkpoint
+        from revisiting_at_tpu.models.resnet import ResNet
+
+        torch.manual_seed(30)
+        tm = TResNet()
+        sd = {f"module.base_model.model.{k}": v for k, v in tm.state_dict().items()}
+        p = tmp_path / "rn.pt"
+        torch.save({"model_state_dict": sd}, p)
+
+        model = ResNet(stage_sizes=(1, 1, 1, 1), num_classes=NCLS, dtype=jnp.float32)
+        variables = model.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)), train=False
+        )
+        params, stats = load_torch_checkpoint(
+            str(p), "resnet50", variables["params"],
+            target_batch_stats=variables["batch_stats"],
+        )
+        tm.eval()
+        with torch.no_grad():
+            x = np.random.RandomState(31).uniform(0, 1, (2, 3, 32, 32)).astype(np.float32)
+            ref = tm(torch.from_numpy(x)).numpy()
+        ours = np.asarray(
+            model.apply(
+                {"params": params, "batch_stats": stats},
+                jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                train=False,
+            )
+        )
+        np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
+
+
+class TestMergeShapeGuard:
+    """ADVICE r2: size-equal but shape-unequal source leaves must be kept
+    random (a transposed matrix must not load silently)."""
+
+    def test_transposed_leaf_kept_random(self):
+        from revisiting_at_tpu.ckpt.torch_import import merge_param_tree
+
+        tgt = {"head": {"kernel": jnp.zeros((4, 9))}}
+        flat = {"head/kernel": np.ones((9, 4), np.float32)}
+        with pytest.warns(UserWarning, match="mismatched shapes"):
+            params, report = merge_param_tree(flat, tgt)
+        assert report["kept_random"] == ["head/kernel"]
+        assert report["shape_mismatch"][0][0] == "head/kernel"
+        assert float(np.abs(np.asarray(params["head"]["kernel"])).sum()) == 0.0
+
+
 if __name__ == "__main__":
     sys.exit(pytest.main([__file__, "-x", "-q"]))
