@@ -92,16 +92,35 @@ def main() -> None:
     attack_steps_per_sec_per_chip = train_steps_per_sec * N_ITER / n_chips
     value = round(attack_steps_per_sec_per_chip, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "APGD attack-steps/sec/chip (ConvNeXt-T-CvSt@224, bs80, 2-step Linf AT)",
-                "value": value,
-                "unit": "attack-steps/s/chip",
-                "vs_baseline": round(value / BASELINE_ATTACK_STEPS_PER_SEC, 3),
-            }
+    record = {
+        "metric": "APGD attack-steps/sec/chip (ConvNeXt-T-CvSt@224, bs80, 2-step Linf AT)",
+        "value": value,
+        "unit": "attack-steps/s/chip",
+        "vs_baseline": round(value / BASELINE_ATTACK_STEPS_PER_SEC, 3),
+    }
+
+    # big-model rows (ConvNeXt-B/L AT, L@320 eval, ViT-S) measured on the
+    # same chip by experiments/big_model_bench.py — compiling all of them
+    # inside this bench would blow its time budget, so the last measured
+    # results ride along for the record (regenerate: see that script)
+    try:
+        from pathlib import Path
+
+        rows = json.loads(
+            (Path(__file__).parent / "experiments" / "RESULTS_big.json").read_text()
         )
-    )
+        record["big_model_rows"] = [
+            {k: r[k] for k in (
+                "config", "arch", "res", "mode", "params_m",
+                "ms_per_micro_step", "ms_per_batch",
+                "attack_steps_per_s_per_chip", "imgs_per_s",
+            ) if k in r}
+            for r in rows
+        ]
+    except (OSError, ValueError):
+        pass
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

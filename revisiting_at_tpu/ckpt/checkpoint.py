@@ -52,6 +52,17 @@ class CheckpointManager:
         if epoch % self.save_freq == 0 or last:
             self._mgr.save(epoch, args=ocp.args.StandardSave(state))
 
+    def save_best(self, epoch: int, state: TrainState) -> None:
+        """Best-robust-checkpoint slot (reference best_adv_weights.pt,
+        main.py:1069-1072): a separate single-entry manager under
+        <run_dir>/ckpt_best, overwritten whenever adv-val improves."""
+        if getattr(self, "_best_mgr", None) is None:
+            self._best_mgr = ocp.CheckpointManager(
+                (self.dir.parent / "ckpt_best").absolute(),
+                options=ocp.CheckpointManagerOptions(max_to_keep=1, create=True),
+            )
+        self._best_mgr.save(epoch, args=ocp.args.StandardSave(state))
+
     def restore_latest(self, target: TrainState) -> tuple[TrainState, int] | None:
         step = self._mgr.latest_step()
         if step is None:
@@ -62,3 +73,5 @@ class CheckpointManager:
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()
+        if getattr(self, "_best_mgr", None) is not None:
+            self._best_mgr.wait_until_finished()

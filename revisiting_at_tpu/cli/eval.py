@@ -24,6 +24,8 @@ def get_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--run_dir", type=str, required=True)
     p.add_argument("--epoch", type=int, default=-1, help="-1: latest checkpoint")
+    p.add_argument("--best", action="store_true",
+                   help="read the best-adv-val checkpoint (<run_dir>/ckpt_best)")
     p.add_argument("--batch_size", type=int, default=200)
     p.add_argument("--n_ex", type=int, default=5000)
     p.add_argument("--l_norms", type=str, default="Linf", help="comma-separated")
@@ -69,7 +71,9 @@ def load_eval_set(args, num_classes: int):
             n += len(lab)
             if n >= args.n_ex:
                 break
-        x = np.concatenate(xs)[: args.n_ex].astype(np.float32) / 255.0
+        # stay uint8 on host — the AA driver converts per dispatched batch
+        # (5000x224² is 0.7 GB as uint8 vs 2.8 GB as f32)
+        x = np.concatenate(xs)[: args.n_ex]
         y = np.concatenate(ys)[: args.n_ex].astype(np.int64)
         return x, y
     if not args.synthetic:
@@ -145,7 +149,8 @@ def main(argv=None):
         # restore checkpoint via orbax
         import orbax.checkpoint as ocp
 
-        mgr = ocp.CheckpointManager(str((run_dir / "ckpt").absolute()))
+        ckpt_dir = "ckpt_best" if args.best else "ckpt"
+        mgr = ocp.CheckpointManager(str((run_dir / ckpt_dir).absolute()))
         step = mgr.latest_step() if args.epoch < 0 else args.epoch
         assert step is not None, f"no checkpoint in {run_dir}/ckpt"
         restored = mgr.restore(step)

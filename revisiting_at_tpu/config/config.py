@@ -68,6 +68,10 @@ class LoggingSection:
     log_level: int = 1
     save_freq: int = 1
     addendum: str = ""
+    # step-cadence telemetry: JSONL {event:"step", loss, lr, imgs_per_s}
+    # every N train steps (reference prints per-iter lr/loss/shapes,
+    # main.py:1002-1017). 0 disables — each record forces one device sync.
+    log_every_steps: int = 0
 
 
 @dataclasses.dataclass
@@ -76,6 +80,12 @@ class ValidationSection:
     resolution: int = 224
     lr_tta: int = 0
     max_batches: int = 200  # reference single_val caps at 200 batches (main.py:928)
+    # in-training adversarial validation (reference best_adv_weights intent,
+    # main.py:1069-1072): every N epochs run a quick APGD-CE val and track
+    # the best robust checkpoint. 0 disables.
+    adv_val_freq: int = 0
+    adv_val_iter: int = 5  # APGD iterations for the quick robust val
+    adv_val_batches: int = 4  # val batches per robust val (keep it cheap)
 
 
 @dataclasses.dataclass

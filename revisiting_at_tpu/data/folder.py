@@ -96,6 +96,12 @@ def make_folder_dataset(cfg: FolderConfig, process_index: int = 0, process_count
     def load_eval(path, label):
         raw = tf.io.read_file(path)
         img = tf.image.decode_image(raw, channels=3, expand_animations=False)
+        if res >= 384:
+            # warp-resize, no crop, at 384px and above (reference eval
+            # contract, dataset_convnext_like.py:88-92)
+            img = tf.image.resize(img, (res, res), method="bicubic")
+            img = tf.cast(tf.clip_by_value(img, 0, 255), tf.uint8)
+            return img, label
         shape = tf.shape(img)
         h, w = shape[0], shape[1]
         scale_size = tf.cast(tf.math.floor(res / cfg.crop_pct), tf.int32)

@@ -37,6 +37,15 @@ STANDARD_ATTACKS = ("apgd-ce", "apgd-t", "fab-t", "square")
 SHORT_ATTACKS = ("apgd-ce", "apgd-t")  # reference full_aa=0 (AA_eval.py:230-231)
 
 
+def _unit(xb: np.ndarray) -> np.ndarray:
+    """[0,1] f32 pixels from a uint8 or already-unit-float batch. The eval
+    set stays uint8 on host (4x smaller, 5000x224² ≈ 0.7 vs 2.8 GB) and is
+    converted per dispatched batch."""
+    if xb.dtype == np.uint8:
+        return xb.astype(np.float32) / 255.0
+    return np.asarray(xb, np.float32)
+
+
 @dataclasses.dataclass
 class AutoAttackConfig:
     norm: str = "Linf"
@@ -103,7 +112,7 @@ class AutoAttack:
         if n < bs:
             xb = np.concatenate([xb, np.repeat(xb[-1:], bs - n, axis=0)])
             yb = np.concatenate([yb, np.repeat(yb[-1:], bs - n, axis=0)])
-        return xb, yb, n
+        return _unit(xb), yb, n
 
     def _top_target_classes(self, x: np.ndarray) -> np.ndarray:
         """[N, n_target_classes] target labels: 2nd..k-th most likely class."""
@@ -123,11 +132,14 @@ class AutoAttack:
     def run_standard_evaluation(
         self, x: np.ndarray, y: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Returns (x_adv, robust_mask). x NHWC [0,1] float32, y int labels."""
+        """Returns (x_adv, robust_mask). x NHWC: uint8 [0,255] (preferred —
+        stays 4x smaller on host until batch dispatch) or float32 [0,1]."""
         cfg = self.cfg
-        x = np.asarray(x, np.float32)
+        x = np.asarray(x)
         y = np.asarray(y, np.int64)
-        x_adv = x.copy()
+        xu = _unit(x)
+        x_adv = xu.copy() if xu is x else xu  # full f32 output (the API)
+        del xu
 
         robust = self.clean_accuracy(x, y)
         self.log(f"initial (clean) accuracy: {robust.mean():.2%}")
@@ -142,15 +154,25 @@ class AutoAttack:
                 attack, x[idx], y[idx], jax.random.fold_in(rng, attack_idx)
             )
             newly_broken = idx[flipped_mask]
-            x_adv[newly_broken] = flipped_x[flipped_mask]
+            x_adv[newly_broken] = flipped_x
             robust[newly_broken] = False
             self.log(
                 f"robust accuracy after {attack.upper()}: {robust.mean():.2%} "
                 f"(broke {flipped_mask.sum()}/{len(idx)})"
             )
 
-        # ε-ball + range invariants on every adversarial point (check_imgs)
-        max_norm, lo, hi = check_imgs(jnp.asarray(x_adv), jnp.asarray(x), cfg.norm)
+        # ε-ball + range invariants on every adversarial point (check_imgs),
+        # batched: never ships the whole eval set to the device at once
+        bs = cfg.batch_size
+        max_norm, lo, hi = 0.0, np.inf, -np.inf
+        for i in range(0, len(x), bs):
+            mn, l, h = check_imgs(
+                jnp.asarray(x_adv[i : i + bs]),
+                jnp.asarray(_unit(x[i : i + bs])),
+                cfg.norm,
+            )
+            max_norm = max(max_norm, float(mn))
+            lo, hi = min(lo, float(l)), max(hi, float(h))
         self.log(
             f"max {cfg.norm} perturbation: {max_norm:.5f}, "
             f"image range [{lo:.5f}, {hi:.5f}]"
@@ -164,13 +186,19 @@ class AutoAttack:
 
     # ------------------------------------------------------- attack kernels
     def _run_attack(self, attack: str, x: np.ndarray, y: np.ndarray, rng):
-        """Run one attack over the worklist subset. Returns (x_candidates,
-        flipped bool mask) aligned with x."""
+        """Run one attack over the worklist subset (x may be uint8; batches
+        convert at dispatch). Returns (flipped_imgs f32 [n_flipped, ...] in
+        np.where(flipped)[0] order, flipped bool mask aligned with x) —
+        only broken points are materialized in float."""
         cfg = self.cfg
         bs = cfg.batch_size
         n = len(x)
-        out_x = x.copy()
+        store: dict[int, np.ndarray] = {}
         flipped = np.zeros(n, bool)
+
+        def _keep(i, got, adv):
+            for j in np.where(got)[0]:
+                store[i + int(j)] = adv[j]
 
         for i in range(0, n, bs):
             xb, yb, nb = self._pad(x[i : i + bs], y[i : i + bs])
@@ -181,7 +209,7 @@ class AutoAttack:
                 adv, acc = self._apgd_ce(xb_j, yb_j, kb)
                 adv, acc = np.asarray(adv), np.asarray(acc)
                 got = ~acc[:nb]
-                out_x[i : i + nb][got] = adv[:nb][got]
+                _keep(i, got, adv[:nb])
                 flipped[i : i + nb] |= got
 
             elif attack == "apgd-t":
@@ -194,7 +222,7 @@ class AutoAttack:
                     adv, acc = self._apgd_t(xb_j, yb_j, yt, jax.random.fold_in(kb, t))
                     adv, acc = np.asarray(adv), np.asarray(acc)
                     got = (~acc[:nb]) & still
-                    out_x[i : i + nb][got] = adv[:nb][got]
+                    _keep(i, got, adv[:nb])
                     flipped[i : i + nb] |= got
                     still &= acc[:nb]
 
@@ -206,7 +234,7 @@ class AutoAttack:
                 )
                 adv, success = np.asarray(adv), np.asarray(success)
                 got = success[:nb]
-                out_x[i : i + nb][got] = adv[:nb][got]
+                _keep(i, got, adv[:nb])
                 flipped[i : i + nb] |= got
 
             elif attack == "square":
@@ -216,10 +244,15 @@ class AutoAttack:
                 )
                 adv, acc = np.asarray(adv), np.asarray(acc)
                 got = ~acc[:nb]
-                out_x[i : i + nb][got] = adv[:nb][got]
+                _keep(i, got, adv[:nb])
                 flipped[i : i + nb] |= got
 
             else:
                 raise ValueError(f"unknown attack {attack!r}")
 
-        return out_x, flipped
+        flipped_idx = np.where(flipped)[0]
+        if len(flipped_idx):
+            flipped_imgs = np.stack([store[int(j)] for j in flipped_idx])
+        else:
+            flipped_imgs = np.zeros((0,) + tuple(x.shape[1:]), np.float32)
+        return flipped_imgs, flipped

@@ -96,10 +96,16 @@ def _pad_n(x, npad):
     return jnp.pad(x, ((0, 0), (0, npad - n), (0, 0)))
 
 
-def _pick_gtile(G, npad, hd):
-    """Heads per grid step: amortize per-step overhead; keep the f32
-    [npad, npad] probabilities + q/k/v/o blocks under ~8 MB VMEM."""
-    per_g = 4 * npad * npad + 8 * npad * hd
+def _pick_gtile(G, npad, hd, *, bwd=False):
+    """Heads per grid step: amortize per-step overhead while staying under
+    ~8 MB of the 16 MB scoped VMEM. The backward holds far more live state
+    than the forward (s, p, dp, ds f32 [npad, npad] temporaries plus seven
+    q/k/v/do/dq/dk/dv blocks vs one matrix + four blocks), so it gets its
+    own, smaller budget — mirroring block_mlp's m_tile vs m_tile_bwd split."""
+    if bwd:
+        per_g = 5 * 4 * npad * npad + 7 * 4 * npad * hd
+    else:
+        per_g = 4 * npad * npad + 8 * npad * hd
     cap = max(1, 8_000_000 // per_g)
     t = 1
     for cand in range(1, min(G, cap) + 1):
@@ -142,7 +148,7 @@ def _vjp_bwd(scale, interpret, res, do):
     q, k, v = res
     G, N, hd = q.shape
     npad = -(-N // 8) * 8
-    gt = _pick_gtile(G, npad, hd)
+    gt = _pick_gtile(G, npad, hd, bwd=True)
     qp, kp, vp, dop = (_pad_n(t, npad) for t in (q, k, v, do))
     sp = _specs(gt, npad, hd)
     dq, dk, dv = pl.pallas_call(

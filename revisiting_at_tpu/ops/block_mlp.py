@@ -30,6 +30,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# pick_m_tile budgets ~14 MB of kernel-resident state against Mosaic's
+# default 16 MB scoped-vmem cap, but the compiler's own stack/spill
+# accounting can push a few % past it at big widths (ConvNeXt-L stage 0:
+# 16.5 MB). v5e has 128 MB of physical VMEM — raise the scoped cap instead
+# of shrinking the perf-tuned tiles.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+
 SQRT_2 = math.sqrt(2.0)
 INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
 
@@ -221,6 +228,7 @@ def _fwd_impl(s, r, keep, ln_g, ln_b, w1, b1, w2, b2, gamma, m_tile, interpret):
                   sp["w1"], sp["vecH"], sp["w2"], sp["vecC"], sp["vecC"]],
         out_specs=sp["s"],
         out_shape=jax.ShapeDtypeStruct((B, M, C), s.dtype),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(s, r, keep.reshape(B, 1), ln_g.reshape(1, C), ln_b.reshape(1, C),
       w1, b1.reshape(1, H), w2, b2.reshape(1, C), gamma.reshape(1, C))
@@ -247,6 +255,7 @@ def _vjp_bwd(m_tile, interpret, grad_mode, m_tile_bwd, res, dy):
                       sp["vecH"], sp["w2"], sp["vecC"], sp["s"]],
             out_specs=sp["s"],
             out_shape=jax.ShapeDtypeStruct((B, M, C), s.dtype),
+            compiler_params=_COMPILER_PARAMS,
             interpret=interpret,
         )(s, keep.reshape(B, 1), ln_g.reshape(1, C), ln_b.reshape(1, C), w1,
           b1.reshape(1, H), w2, gamma.reshape(1, C), dy)
@@ -276,6 +285,7 @@ def _vjp_bwd(m_tile, interpret, grad_mode, m_tile_bwd, res, dy):
                   sp["vecH"], sp["w2"], sp["vecC"], sp["s"]],
         out_specs=out_specs,
         out_shape=out_shapes,
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(s, keep.reshape(B, 1), ln_g.reshape(1, C), ln_b.reshape(1, C), w1,
       b1.reshape(1, H), w2, gamma.reshape(1, C), dy)

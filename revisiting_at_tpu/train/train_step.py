@@ -330,3 +330,30 @@ def make_eval_step(model, *, lr_tta: bool = False, use_ema: bool = False):
         return jnp.sum(top1.astype(jnp.int32)), jnp.sum(top5.astype(jnp.int32))
 
     return jax.jit(eval_fn)
+
+
+def make_adv_eval_step(model, *, adv: AdvConfig, use_ema: bool = False):
+    """In-training adversarial validation step: quick APGD-CE against the
+    training threat model, robust-correct count over the batch (the
+    reference's best_adv_weights intent, main.py:1069-1072 — it tracks the
+    best robust checkpoint but never re-evaluates; we actually attack)."""
+    from ..attacks.apgd import apgd_attack
+
+    attack_view = input_grad_view(model)
+
+    def fn(state: TrainState, images: jax.Array, labels: jax.Array, rng):
+        variables = state.ema_variables() if use_ema else state.variables()
+        x = to_unit_pixels(images)
+
+        def logits_fn(xb):
+            return attack_view.apply(variables, xb, train=False)
+
+        res = apgd_attack(
+            logits_fn, x, labels, norm=adv.norm, eps=adv.eps,
+            n_iter=adv.n_iter, loss="ce", is_train=False, rng=rng,
+        )
+        logits = model.apply(variables, res.x_best_adv, train=False)
+        robust = jnp.argmax(logits, -1) == labels
+        return jnp.sum(robust.astype(jnp.int32))
+
+    return jax.jit(fn)

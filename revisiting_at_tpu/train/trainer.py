@@ -38,7 +38,10 @@ from .ema import ema_init
 from .optimizer import make_optimizer
 from .schedule import LRConfig, get_resolution, make_lr_schedule
 from .state import TrainState
-from .train_step import AdvConfig, make_eval_step, make_train_step
+from .train_step import (
+    AdvConfig, make_adv_eval_step, make_eval_step, make_train_step,
+)
+from ..utils.retry import retry_transient
 
 
 class Trainer:
@@ -215,6 +218,18 @@ class Trainer:
             state_specs=state_specs,
         )
         self.eval_step = make_eval_step(self.model, lr_tta=bool(cfg.validation.lr_tta))
+        self.accum = accum
+
+        # in-training adversarial validation + best-checkpoint tracking
+        # (reference best_adv_weights intent, main.py:1069-1072)
+        self.adv_eval_step = None
+        self.best_adv_acc = -1.0
+        if cfg.validation.adv_val_freq > 0:
+            adv_val = AdvConfig(
+                attack="apgd", norm=cfg.adv.norm, eps=cfg.adv.eps,
+                n_iter=cfg.validation.adv_val_iter,
+            )
+            self.adv_eval_step = make_adv_eval_step(self.model, adv=adv_val)
 
         # logging & checkpoints; model.ckpt_path pointing at an existing run
         # dir means "resume that run in place" (true resume, SURVEY.md §5 gap)
@@ -298,10 +313,31 @@ class Trainer:
         self._last_top5 = correct5 / max(total, 1)
         return acc, total
 
+    def adv_val(self, epoch: int) -> tuple[float, int]:
+        """Quick APGD-CE robust accuracy on a few val batches."""
+        assert self.adv_eval_step is not None
+        rng = jax.random.fold_in(
+            jax.random.PRNGKey(self.cfg.training.seed + 7), epoch
+        )
+        correct = 0
+        total = 0
+        for i, (images, labels) in enumerate(self.val_data):
+            images, labels = self._put_batch(images, labels)
+            correct += int(
+                self.adv_eval_step(self.state, images, labels,
+                                   jax.random.fold_in(rng, i))
+            )
+            total += labels.shape[0]
+            if i + 1 >= self.cfg.validation.adv_val_batches:
+                break
+        return correct / max(total, 1), total
+
     # ------------------------------------------------------------ training
     def train_loop(self, epoch: int) -> float:
         losses = []
         profile_steps = self.cfg.misc.profile_steps if epoch == self.start_epoch else 0
+        log_every = int(self.cfg.logging.log_every_steps)
+        window_t0 = time.time()
         for ix, (images, labels) in enumerate(self.train_data):
             if profile_steps and ix == 1:  # skip the compile step
                 jax.profiler.start_trace(str(self.logger.dir / "trace"))
@@ -313,14 +349,38 @@ class Trainer:
                 profile_steps = 0
             # RandAugment/erasing run INSIDE the fused train step (on device)
             images, labels = self._put_batch(images, labels)
-            self.state, metrics = self.train_step(self.state, images, labels)
+            if ix == 0 and epoch == self.start_epoch:
+                # first call compiles: retry transient tunnel failures (the
+                # failure precedes execution, so donated buffers are intact)
+                self.state, metrics = retry_transient(
+                    lambda: self.train_step(self.state, images, labels),
+                    on_retry=lambda a, e: self.logger.log(
+                        {"event": "compile_retry", "attempt": a, "error": str(e)[:200]}
+                    ),
+                )
+            else:
+                self.state, metrics = self.train_step(self.state, images, labels)
             losses.append(metrics["loss"])
+            if log_every and (ix + 1) % log_every == 0:
+                # one device sync per record (reference prints per-iter
+                # lr/loss, main.py:1002-1017)
+                now = time.time()
+                self.logger.log({
+                    "event": "step",
+                    "epoch": epoch,
+                    "step": int(self.state.step),
+                    "loss": float(metrics["loss"]),
+                    "lr": float(self.lr_schedule(int(self.state.step) // self.accum)),
+                    "imgs_per_s": log_every * labels.shape[0] / max(now - window_t0, 1e-9),
+                })
+                window_t0 = time.time()
         mean_loss = float(jnp.mean(jnp.stack(losses)))
         return mean_loss
 
     def train(self) -> None:
         cfg = self.cfg
-        acc, n = self.single_val()
+        # first eval_step call compiles over the tunnel: retry transients
+        acc, n = retry_transient(self.single_val)
         self.logger.log({"Validation acc": acc, "top5": self._last_top5, "points": n})
 
         for epoch in range(self.start_epoch, cfg.training.epochs):
@@ -340,7 +400,9 @@ class Trainer:
                 self.logger.log({"event": "nan_loss", "epoch": epoch})
                 sys.exit(1)
 
-            lr_now = float(self.lr_schedule(int(self.state.step)))
+            # the schedule advances per OPTIMIZER step: index with
+            # step // grad_accum (optax.MultiSteps applies every k micro-steps)
+            lr_now = float(self.lr_schedule(int(self.state.step) // self.accum))
             self.logger.log(
                 {
                     "epoch": epoch,
@@ -352,6 +414,17 @@ class Trainer:
             )
             last = epoch == cfg.training.epochs - 1
             self.ckpt.maybe_save(epoch, self.state, last=last)
+
+            freq = cfg.validation.adv_val_freq
+            if self.adv_eval_step is not None and ((epoch + 1) % freq == 0 or last):
+                adv_acc, n_adv = self.adv_val(epoch)
+                self.logger.log({"event": "adv_val", "epoch": epoch,
+                                 "adv_acc": adv_acc, "points": n_adv})
+                if adv_acc > self.best_adv_acc:
+                    self.best_adv_acc = adv_acc
+                    self.ckpt.save_best(epoch, self.state)
+                    self.logger.log({"event": "best_adv", "epoch": epoch,
+                                     "adv_acc": adv_acc})
 
         acc, n = self.single_val()
         self.logger.log({"event": "final_val", "Validation acc": acc,

@@ -1,0 +1,53 @@
+"""Retry-with-backoff for transient tunnel/remote-compile failures.
+
+The TPU tunnel's remote-compile path can throw transient HTTP 500 /
+"response body closed" errors under heavy host-CPU load (CLAUDE.md
+environment notes); the failure happens during lowering/compilation,
+before any donated buffer is consumed, so re-invoking the same call is
+safe. Anything that doesn't match the transient markers is re-raised
+immediately.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Sequence, TypeVar
+
+T = TypeVar("T")
+
+TRANSIENT_MARKERS: tuple[str, ...] = (
+    "response body closed",
+    "http 500",
+    "500 internal",
+    "deadline exceeded",
+    "connection reset",
+    "unavailable",
+)
+
+
+def is_transient(exc: BaseException, markers: Sequence[str] = TRANSIENT_MARKERS) -> bool:
+    msg = str(exc).lower()
+    return any(m in msg for m in markers)
+
+
+def retry_transient(
+    fn: Callable[[], T],
+    *,
+    retries: int = 3,
+    base_delay: float = 5.0,
+    markers: Sequence[str] = TRANSIENT_MARKERS,
+    on_retry: Callable[[int, BaseException], None] | None = None,
+) -> T:
+    """Call `fn()`; on a transient error retry up to `retries` times with
+    exponential backoff (base_delay * 2^attempt). Non-transient errors and
+    the final failure propagate."""
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except Exception as exc:  # noqa: BLE001 — filtered by marker below
+            if attempt >= retries or not is_transient(exc, markers):
+                raise
+            if on_retry is not None:
+                on_retry(attempt, exc)
+            time.sleep(base_delay * (2.0**attempt))
+    raise AssertionError("unreachable")

@@ -58,6 +58,29 @@ class TestImageFolder:
         images, labels = next(iter(it_fn()))
         assert images.shape == (2, 32, 32, 3)
 
+    def test_eval_warp_resize_at_384(self, tmp_path):
+        """>=384px evals warp the whole image (no crop) — reference
+        dataset_convnext_like.py:88-92. A non-square image must map its
+        full extent onto the square output, not a center crop of it."""
+        from PIL import Image
+        from revisiting_at_tpu.data.folder import FolderConfig, make_folder_dataset
+
+        d = tmp_path / "class_0"
+        d.mkdir()
+        # left half black, right half white, very wide: a center crop at
+        # crop_pct would cut the edges; a warp keeps both extremes
+        arr = np.zeros((100, 800, 3), np.uint8)
+        arr[:, 400:] = 255
+        Image.fromarray(arr).save(d / "img.png")
+        it_fn, _ = make_folder_dataset(
+            FolderConfig(root=str(tmp_path), resolution=384, batch_size=1,
+                         is_train=False, drop_remainder=False)
+        )
+        images, _ = next(iter(it_fn()))
+        assert images.shape == (1, 384, 384, 3)
+        assert images[0, :, :20].mean() < 30  # left edge survived
+        assert images[0, :, -20:].mean() > 225  # right edge survived
+
     def test_process_sharding(self, tmp_path):
         from revisiting_at_tpu.data.folder import FolderConfig, make_folder_dataset
 

@@ -118,6 +118,85 @@ class TestTrainer:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+class TestAdvValBestCkpt:
+    def test_adv_val_logs_and_best_checkpoint(self, tmp_path):
+        cfg = tiny_cfg(tmp_path, attack="apgd")
+        cfg.training.epochs = 2
+        cfg.validation.adv_val_freq = 1
+        cfg.validation.adv_val_iter = 2
+        cfg.validation.adv_val_batches = 1
+        train, val = tiny_data(cfg)
+        tr = Trainer(cfg, train_data=train, val_data=val)
+        tr.train()
+
+        import json
+        records = [json.loads(l) for l in (tr.logger.dir / "log").read_text().splitlines()]
+        adv_vals = [r for r in records if r.get("event") == "adv_val"]
+        bests = [r for r in records if r.get("event") == "best_adv"]
+        assert len(adv_vals) == 2  # every epoch
+        assert all(0.0 <= r["adv_acc"] <= 1.0 for r in adv_vals)
+        assert bests, "no best checkpoint recorded"
+        assert (tr.logger.dir / "ckpt_best").exists()
+
+        # the best checkpoint restores through the eval CLI's manager path
+        import orbax.checkpoint as ocp
+
+        mgr = ocp.CheckpointManager(str((tr.logger.dir / "ckpt_best").absolute()))
+        assert mgr.latest_step() == bests[-1]["epoch"]
+
+    def test_step_telemetry_records(self, tmp_path):
+        cfg = tiny_cfg(tmp_path, attack="none")
+        cfg.logging.log_every_steps = 2
+        train, val = tiny_data(cfg, n_batches=4)
+        tr = Trainer(cfg, train_data=train, val_data=val)
+        tr.train_loop(0)
+
+        import json
+        records = [json.loads(l) for l in (tr.logger.dir / "log").read_text().splitlines()]
+        steps = [r for r in records if r.get("event") == "step"]
+        assert [r["step"] for r in steps] == [2, 4]
+        for r in steps:
+            assert np.isfinite(r["loss"]) and r["imgs_per_s"] > 0 and r["lr"] >= 0
+
+
+class TestRetryTransient:
+    def test_retries_transient_then_succeeds(self):
+        from revisiting_at_tpu.utils.retry import retry_transient
+
+        calls = []
+
+        def flaky():
+            calls.append(1)
+            if len(calls) < 3:
+                raise RuntimeError("INTERNAL: http 500 from remote compiler")
+            return "ok"
+
+        assert retry_transient(flaky, base_delay=0.0) == "ok"
+        assert len(calls) == 3
+
+    def test_non_transient_propagates_immediately(self):
+        from revisiting_at_tpu.utils.retry import retry_transient
+
+        calls = []
+
+        def broken():
+            calls.append(1)
+            raise ValueError("shape mismatch (1, 2) vs (3,)")
+
+        with pytest.raises(ValueError):
+            retry_transient(broken, base_delay=0.0)
+        assert len(calls) == 1
+
+    def test_gives_up_after_retries(self):
+        from revisiting_at_tpu.utils.retry import retry_transient
+
+        def always_flaky():
+            raise RuntimeError("response body closed")
+
+        with pytest.raises(RuntimeError):
+            retry_transient(always_flaky, retries=2, base_delay=0.0)
+
+
 class TestGradAccum:
     def test_two_microbatches_equal_one_full_batch(self, tmp_path):
         """grad_accum=2 over two half-batches must produce the same params
