@@ -28,6 +28,11 @@ from jax.experimental.pallas import tpu as pltpu
 K = 7
 P = K // 2  # pad 3
 
+# the v2 hoisted-shift kernels' unrolled tap reads make Mosaic's stack
+# accounting balloon past the default 16 MB scoped-vmem cap (41.8 MB at
+# stage-0 shape); v5e has 128 MB physical VMEM
+_V2_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+
 
 def _fwd_kernel(x_ref, w_ref, b_ref, y_ref, xpad):
     H = x_ref.shape[1]
@@ -211,6 +216,7 @@ def _fwd_impl_v2(x, w, b, interpret):
             pltpu.VMEM((H + 2 * P, W + 2 * P, C), jnp.float32),
             pltpu.VMEM((H + 2 * P, W, C), jnp.float32),
         ],
+        compiler_params=_V2_PARAMS,
         interpret=interpret,
     )(x, w2, b.reshape(1, C).astype(jnp.float32))
 
@@ -238,6 +244,7 @@ def _vjp_bwd_v2(interpret, res, dy):
             pltpu.VMEM((H + 2 * P, W + 2 * P, C), jnp.float32),
             pltpu.VMEM((H + 2 * P, W, C), jnp.float32),
         ],
+        compiler_params=_V2_PARAMS,
         interpret=interpret,
     )(x, w2, dy)
     return dx, dw.reshape(w.shape), db.reshape(-1)
