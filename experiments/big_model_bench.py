@@ -42,6 +42,9 @@ CONFIGS = {
     "vit_s": dict(arch="vit_s", res=224, mode="at"),
     "vit_s_320eval": dict(arch="vit_s", res=320, mode="eval"),  # 401 tokens
     "t224": dict(arch="convnext_tiny", res=224, mode="at"),
+    # the paper recipe's production step: uint8 batch -> on-device
+    # RandAugment/erasing/hflip -> mixup/cutmix -> 2-step APGD -> update
+    "t224_fullrecipe": dict(arch="convnext_tiny", res=224, mode="at", aug=True),
 }
 
 

@@ -224,19 +224,49 @@ def _translate_y_mat(pixels: Array) -> Array:
 
 def _resample_w(x: Array, tgt: Array, fill: float = 0.5) -> Array:
     """Bilinear 1-D resample along W: out[b,h,w] = x[b,h,tgt[b,h,w]] with
-    boundary blending into `fill`. One-hot banded matmul on the MXU."""
+    boundary blending into `fill`. One-hot banded matmul on the MXU.
+
+    HBM note: the one-hot operand is O(B*H*W^2) — 1.8 GB bf16 at the
+    128x224x224 per-device full-recipe batch. It is built bf16 in ONE
+    fused elementwise pass (the f32 build + cast + O(B*H*W^2) coverage
+    reduction cost ~4x the traffic) and the batch is chunked when the
+    transient would exceed ~2 GB, so growing batch or resolution degrades
+    smoothly instead of blowing up HBM."""
     B, H, W, C = x.shape
+    n_bytes = B * H * W * W * 2
+    chunk = max(1, int(B * min(1.0, 2_000_000_000 / max(n_bytes, 1))))
+    if chunk < B:
+        outs = [
+            _resample_w_impl(x[i : i + chunk], tgt[i : i + chunk], fill)
+            for i in range(0, B, chunk)
+        ]
+        return jnp.concatenate(outs, axis=0)
+    return _resample_w_impl(x, tgt, fill)
+
+
+def _resample_w_impl(x: Array, tgt: Array, fill: float) -> Array:
+    B, H, W, C = x.shape
+    # index comparisons stay f32 (bf16 is exact only to 256; W can be 320);
+    # only the interpolation WEIGHTS are bf16 — the same rounding as the
+    # previous build-f32-then-cast, in one fused pass
     src = jax.lax.broadcasted_iota(jnp.float32, (1, 1, 1, W), 3)
-    t0 = jnp.floor(tgt)[..., None]
-    fr = (tgt - jnp.floor(tgt))[..., None]
-    m = jnp.where(src == t0, 1.0 - fr, 0.0) + jnp.where(src == t0 + 1.0, fr, 0.0)
-    m16 = m.astype(jnp.bfloat16)  # [B,H,Wout,Win]
+    t0f = jnp.floor(tgt)
+    fr = (tgt - t0f).astype(jnp.bfloat16)[..., None]
+    t0 = t0f[..., None]
+    one = jnp.ones((), jnp.bfloat16)
+    m16 = jnp.where(src == t0, one - fr, jnp.zeros((), jnp.bfloat16))
+    m16 = m16 + jnp.where(src == t0 + 1.0, fr, jnp.zeros((), jnp.bfloat16))
     out = jax.lax.dot_general(
         m16, x.astype(jnp.bfloat16),
         (((3,), (2,)), ((0, 1), (0, 1))),
         preferred_element_type=jnp.float32,
     )  # [B,H,Wout,C]
-    cov = jnp.sum(m, axis=3)  # coverage in [0,1]; <1 at/past the borders
+    # coverage analytically: the row sums to (1-fr)*[t0 in range] +
+    # fr*[t0+1 in range] — no O(B*H*W^2) reduction needed
+    frf = tgt - t0f
+    in_lo = (t0f >= 0.0) & (t0f <= W - 1)
+    in_hi = (t0f + 1.0 >= 0.0) & (t0f + 1.0 <= W - 1)
+    cov = (1.0 - frf) * in_lo + frf * in_hi
     return out + (1.0 - cov)[..., None] * fill
 
 
