@@ -149,6 +149,19 @@ def _proj_hyperplane_box_l1(t: Array, w: Array, b: Array) -> Array:
 
 
 def _project(t, w, b, norm):
+    """Min-norm delta taking t ONTO the box-restricted hyperplane w·z = b,
+    from EITHER side.
+
+    The official FAB projection (autoattack fab_projections.py:13-17) flips
+    (w, b) per row so the point sits on the w·z >= b side before solving the
+    <= problem — i.e. an already-adversarial iterate is projected BACK onto
+    the linearized decision boundary. That backward walk is integral to
+    FAB's minimum-norm refinement; without it (delta = 0 on the feasible
+    side) the attack only shrinks distortion via the β backward step and
+    systematically over-reports robustness."""
+    s = jnp.where(jnp.sum(w * t, axis=1) - b >= 0.0, 1.0, -1.0)
+    w = w * s[:, None]
+    b = b * s
     if norm == "Linf":
         return _proj_hyperplane_box_linf(t, w, b)
     if norm == "L2":

@@ -222,5 +222,90 @@ class TestFabAttack:
         assert float(l2_norm(jnp.asarray(np.asarray(x_adv) - x)).max()) <= 1.5 + 1e-3
 
 
+class TestFabOracleParity:
+    """Attack-level dynamics vs the eager official-loop transcription
+    (evals/fab_oracle.py): the scan-based production attack must follow the
+    same trajectory — hyperplane build, both-sides projection, α/η blend,
+    best bookkeeping, β backward step (VERDICT r2: FAB had projection-level
+    evidence only)."""
+
+    @staticmethod
+    def _mlp_problem(seed=11, bs=6, nc=5):
+        from revisiting_at_tpu.evals.fab_oracle import fab_single_target_oracle  # noqa: F401
+
+        rng = np.random.RandomState(seed)
+        d = 4 * 4 * 3
+        w1 = jnp.asarray(rng.randn(d, 24).astype(np.float32) * 0.6)
+        w2 = jnp.asarray(rng.randn(24, nc).astype(np.float32) * 0.8)
+
+        def fn(xa):
+            h = jnp.tanh(xa.reshape(xa.shape[0], -1) @ w1)
+            return h @ w2
+
+        x = rng.uniform(0.25, 0.75, size=(bs, 4, 4, 3)).astype(np.float32)
+        logits = np.asarray(fn(jnp.asarray(x)))
+        y = logits.argmax(-1).astype(np.int64)
+        order = np.argsort(logits, -1)
+        targets = order[:, -2:-4:-1].astype(np.int64)  # 2 targets
+        return fn, x, y, targets
+
+    @pytest.mark.parametrize("norm", ["Linf", "L2", "L1"])
+    @pytest.mark.parametrize("n_iter", [1, 5, 20])
+    def test_single_target_trajectory(self, norm, n_iter):
+        from revisiting_at_tpu.evals.fab_oracle import fab_single_target_oracle
+
+        fn, x, y, targets = self._mlp_problem()
+        yt = targets[:, 0]
+        xb_o, res_o = fab_single_target_oracle(
+            fn, x, y, yt, norm=norm, n_iter=n_iter
+        )
+        xb_p, res_p = fab_attack_single_target(
+            fn, jnp.asarray(x), jnp.asarray(y), jnp.asarray(yt),
+            norm=norm, eps=10.0, n_iter=n_iter,
+        )
+        found = res_o < 1e9
+        np.testing.assert_allclose(
+            np.asarray(res_p), res_o, rtol=2e-3, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(xb_p)[found], xb_o[found], atol=2e-3
+        )
+
+    def test_targeted_bookkeeping(self):
+        from revisiting_at_tpu.evals.fab_oracle import fab_targeted_oracle
+
+        fn, x, y, targets = self._mlp_problem(seed=12)
+        eps = 1.0
+        xa_o, s_o = fab_targeted_oracle(
+            fn, x, y, targets, norm="L2", eps=eps, n_iter=10
+        )
+        xa_p, s_p = fab_attack_targeted(
+            fn, jnp.asarray(x), jnp.asarray(y), jnp.asarray(targets),
+            norm="L2", eps=eps, n_iter=10,
+        )
+        np.testing.assert_array_equal(np.asarray(s_p), s_o)
+        np.testing.assert_allclose(np.asarray(xa_p), xa_o, atol=2e-3)
+
+    def test_boundary_walkback_refines(self):
+        """The both-sides projection (official fab_projections sign-flip)
+        must let an adversarial iterate keep refining toward the boundary:
+        more iterations => no worse (generally smaller) minimum norm."""
+        fn, x, y, targets = self._mlp_problem(seed=13)
+        yt = targets[:, 0]
+        _, res5 = fab_attack_single_target(
+            fn, jnp.asarray(x), jnp.asarray(y), jnp.asarray(yt),
+            norm="L2", eps=10.0, n_iter=5,
+        )
+        _, res40 = fab_attack_single_target(
+            fn, jnp.asarray(x), jnp.asarray(y), jnp.asarray(yt),
+            norm="L2", eps=10.0, n_iter=40,
+        )
+        res5, res40 = np.asarray(res5), np.asarray(res40)
+        found = res5 < 1e9
+        assert found.any()
+        assert (res40[found] <= res5[found] + 1e-5).all()
+        assert (res40[found] < res5[found] - 1e-4).any()
+
+
 if __name__ == "__main__":
     sys.exit(pytest.main([__file__, "-x", "-q"]))
