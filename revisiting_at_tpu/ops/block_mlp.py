@@ -108,19 +108,23 @@ def _fwd_kernel(s_ref, r_ref, keep_ref, lng_ref, lnb_ref, w1_ref, b1_ref,
 
 # ----------------------------------------------------------------- backward
 
-def _bwd_kernel(s_ref, keep_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
-                gamma_ref, dy_ref,
-                ds_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dgo_ref,
-                dlng_ref, dlnb_ref):
+def _bwd_kernel(s_ref, keep_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2g_ref,
+                dy_ref,
+                ds_ref, dw1_ref, db1_ref, dA_ref, dlng_ref, dlnb_ref):
+    """Full backward, gamma folded into w2g = w2 * gamma (host side).
+
+    Lets the kernel skip recomputing o = g @ W2 (it was needed ONLY for the
+    o-part of dgamma): with A := g16^T @ kdy16 accumulated instead of dw2,
+    the caller recovers  dw2 = A * gamma,  dgamma_o = sum_h W2 * A,  and
+    db2 = gamma * sum(kdy)  outside the kernel — 5 matmul units instead of
+    6 and two fewer f32 accumulators."""
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
 
     @pl.when(first)
     def _init():
         dw1_ref[:] = jnp.zeros_like(dw1_ref)
         db1_ref[:] = jnp.zeros_like(db1_ref)
-        dw2_ref[:] = jnp.zeros_like(dw2_ref)
-        db2_ref[:] = jnp.zeros_like(db2_ref)
-        dgo_ref[:] = jnp.zeros_like(dgo_ref)
+        dA_ref[:] = jnp.zeros_like(dA_ref)
         dlng_ref[:] = jnp.zeros_like(dlng_ref)
         dlnb_ref[:] = jnp.zeros_like(dlnb_ref)
 
@@ -131,20 +135,13 @@ def _bwd_kernel(s_ref, keep_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
     h = jnp.dot(u16, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[0]
     g, dgelu = _gelu_and_dgelu_f32(h)
     g16 = g.astype(jnp.bfloat16)
-    o = jnp.dot(g16, w2_ref[:], preferred_element_type=jnp.float32)  # pre-b2
 
     dy = dy_ref[0].astype(jnp.float32)
     keep = keep_ref[pl.program_id(0), 0]
-    gamma = gamma_ref[0]
-    kdy = keep * dy
+    kdy16 = (keep * dy).astype(jnp.bfloat16)
 
-    # y = r + keep*gamma*(o + b2)
-    db2_ref[0] += jnp.sum(kdy * gamma, axis=0)
-    dgo_ref[0] += jnp.sum(kdy * o, axis=0)  # o-part of dgamma; b2-part outside
-
-    do16 = (kdy * gamma).astype(jnp.bfloat16)
-    dw2_ref[:] += _dotT_acc(g16, do16)
-    dg = _dot_rhsT(do16, w2_ref[:])
+    dA_ref[:] += _dotT_acc(g16, kdy16)      # dw2 = A*gamma, dgamma_o = W2.A
+    dg = _dot_rhsT(kdy16, w2g_ref[:])       # = (kdy*gamma) @ W2^T
     dh = dg * dgelu
     dh16 = dh.astype(jnp.bfloat16)
     db1_ref[0] += jnp.sum(dh, axis=0)
@@ -162,14 +159,15 @@ def _bwd_kernel(s_ref, keep_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
 
 
 def _bwd_input_kernel(s_ref, keep_ref, lng_ref, lnb_ref, w1_ref, b1_ref,
-                      w2_ref, gamma_ref, dy_ref, ds_ref):
+                      w2g_ref, dy_ref, ds_ref):
     """Input-cotangent-only backward: ds from dy, NO weight gradients.
 
     The attack loop differentiates w.r.t. the INPUT only; a monolithic
     pallas_call can't be dead-code-eliminated by XLA, so the full backward
     would compute and throw away dW1/dW2/dLN/dgamma on every attack
     backward (6 matmul-units vs the 3 actually needed, plus the f32
-    accumulator traffic)."""
+    accumulator traffic). gamma is folded into w2g = w2 * gamma host-side
+    (same formulation as the full backward — bit-identical ds)."""
     s = s_ref[0].astype(jnp.float32)
     g_ln = lng_ref[0]
     u, xhat, inv = _ln_f32(s, g_ln, lnb_ref[0])
@@ -179,8 +177,8 @@ def _bwd_input_kernel(s_ref, keep_ref, lng_ref, lnb_ref, w1_ref, b1_ref,
 
     dy = dy_ref[0].astype(jnp.float32)
     keep = keep_ref[pl.program_id(0), 0]
-    do16 = (keep * dy * gamma_ref[0]).astype(jnp.bfloat16)
-    dg = _dot_rhsT(do16, w2_ref[:])
+    kdy16 = (keep * dy).astype(jnp.bfloat16)
+    dg = _dot_rhsT(kdy16, w2g_ref[:])
     dh16 = (dg * dgelu).astype(jnp.bfloat16)
     du = _dot_rhsT(dh16, w1_ref[:])
 
@@ -248,17 +246,18 @@ def _vjp_bwd(m_tile, interpret, grad_mode, m_tile_bwd, res, dy):
     sp = _specs(B, m_tile, C, H)
 
     if grad_mode == "input":
+        w2g16 = (w2.astype(jnp.float32) * gamma.astype(jnp.float32)).astype(jnp.bfloat16)
         ds = pl.pallas_call(
             _bwd_input_kernel,
             grid=(B, M // m_tile),
             in_specs=[sp["s"], sp["keep"], sp["vecC"], sp["vecC"], sp["w1"],
-                      sp["vecH"], sp["w2"], sp["vecC"], sp["s"]],
+                      sp["vecH"], sp["w2"], sp["s"]],
             out_specs=sp["s"],
             out_shape=jax.ShapeDtypeStruct((B, M, C), s.dtype),
             compiler_params=_COMPILER_PARAMS,
             interpret=interpret,
         )(s, keep.reshape(B, 1), ln_g.reshape(1, C), ln_b.reshape(1, C), w1,
-          b1.reshape(1, H), w2, gamma.reshape(1, C), dy)
+          b1.reshape(1, H), w2g16, dy)
         z = jnp.zeros
         return (ds, dy, jnp.zeros_like(keep),
                 z((C,), ln_g.dtype), z((C,), ln_b.dtype),
@@ -269,35 +268,41 @@ def _vjp_bwd(m_tile, interpret, grad_mode, m_tile_bwd, res, dy):
         jax.ShapeDtypeStruct((B, M, C), s.dtype),   # ds
         jax.ShapeDtypeStruct((C, H), jnp.float32),  # dw1
         jax.ShapeDtypeStruct((1, H), jnp.float32),  # db1
-        jax.ShapeDtypeStruct((H, C), jnp.float32),  # dw2
-        jax.ShapeDtypeStruct((1, C), jnp.float32),  # db2
-        jax.ShapeDtypeStruct((1, C), jnp.float32),  # dgamma (o-part)
+        jax.ShapeDtypeStruct((H, C), jnp.float32),  # A = g^T @ kdy
         jax.ShapeDtypeStruct((1, C), jnp.float32),  # dln_g
         jax.ShapeDtypeStruct((1, C), jnp.float32),  # dln_b
     )
-    out_specs = (sp["s"], sp["w1"], sp["vecH"], sp["w2"], sp["vecC"],
-                 sp["vecC"], sp["vecC"], sp["vecC"])
+    out_specs = (sp["s"], sp["w1"], sp["vecH"], sp["w2"],
+                 sp["vecC"], sp["vecC"])
 
-    ds, dw1, db1, dw2, db2, dgo, dlng, dlnb = pl.pallas_call(
+    gamma_f = gamma.astype(jnp.float32)
+    w2_f = w2.astype(jnp.float32)
+    w2g16 = (w2_f * gamma_f).astype(jnp.bfloat16)
+
+    ds, dw1, db1, dA, dlng, dlnb = pl.pallas_call(
         _bwd_kernel,
         grid=(B, M // m_tile),
         in_specs=[sp["s"], sp["keep"], sp["vecC"], sp["vecC"], sp["w1"],
-                  sp["vecH"], sp["w2"], sp["vecC"], sp["s"]],
+                  sp["vecH"], sp["w2"], sp["s"]],
         out_specs=out_specs,
         out_shape=out_shapes,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(s, keep.reshape(B, 1), ln_g.reshape(1, C), ln_b.reshape(1, C), w1,
-      b1.reshape(1, H), w2, gamma.reshape(1, C), dy)
+      b1.reshape(1, H), w2g16, dy)
 
-    # dgamma = sum(keep*dy*(o + b2)) — kernel accumulated the o-part
+    # recover the gamma-entangled cotangents from A = g16^T @ kdy16:
+    #   dw2 = A * gamma;  dgamma = sum_h W2*A (o-part) + b2*sum(kdy);
+    #   db2 = gamma * sum(kdy)
     kdy_sum = jnp.sum(dy.astype(jnp.float32) * keep.reshape(B, 1, 1), axis=(0, 1))
-    dgamma = dgo.reshape(C) + b2.astype(jnp.float32) * kdy_sum
+    dw2 = dA * gamma_f[None, :]
+    db2 = gamma_f * kdy_sum
+    dgamma = jnp.sum(w2_f * dA, axis=0) + b2.astype(jnp.float32) * kdy_sum
     dkeep = jnp.zeros_like(keep)  # droppath mask: no gradient needed
     dr = dy
 
     return (ds, dr, dkeep, dlng.reshape(C), dlnb.reshape(C), dw1,
-            db1.reshape(H), dw2, db2.reshape(C), dgamma)
+            db1.reshape(H), dw2, db2, dgamma)
 
 
 block_mlp.defvjp(_vjp_fwd, _vjp_bwd)
