@@ -40,6 +40,8 @@ CONFIGS = {
     "l224": dict(arch="convnext_large", res=224, mode="at"),
     "l320eval": dict(arch="convnext_large", res=320, mode="eval"),
     "vit_s": dict(arch="vit_s", res=224, mode="at"),
+    "vit_m": dict(arch="vit_m", res=224, mode="at"),  # C=512: heavy fused tail
+    "vit_b": dict(arch="vit_b", res=224, mode="at"),  # C=768: input-mode tail only
     "vit_s_320eval": dict(arch="vit_s", res=320, mode="eval"),  # 401 tokens
     "t224": dict(arch="convnext_tiny", res=224, mode="at"),
     # the paper recipe's production step: uint8 batch -> on-device
@@ -87,6 +89,7 @@ def main() -> None:
 
         enable_compilation_cache()
 
+    from revisiting_at_tpu.data.augment import RandAugmentConfig
     from revisiting_at_tpu.data.mixup import MixupConfig
     from revisiting_at_tpu.models import get_model
     from revisiting_at_tpu.train.train_step import AdvConfig, make_train_step
@@ -94,6 +97,7 @@ def main() -> None:
 
     res = c["res"]
     at = c["mode"] == "at"
+    use_aug = bool(c.get("aug"))
     use_remat = at and not args.no_remat
     use_pallas = not args.no_pallas
     model, meta = get_model(
@@ -115,7 +119,12 @@ def main() -> None:
     # micro-batch = bs/accum: with optax.MultiSteps each call consumes one
     # micro-batch; an optimizer step happens every `accum` calls
     micro = args.bs // max(args.accum, 1)
-    images = jnp.asarray(rng.uniform(0, 1, (micro, res, res, 3)), jnp.float32)
+    if use_aug:
+        # production input contract: uint8 batches from tf.data; RandAugment/
+        # erasing/hflip run on device inside the fused step
+        images = jnp.asarray(rng.randint(0, 256, (micro, res, res, 3)), jnp.uint8)
+    else:
+        images = jnp.asarray(rng.uniform(0, 1, (micro, res, res, 3)), jnp.float32)
     labels = jnp.asarray(rng.randint(0, 1000, micro), jnp.int32)
 
     if at:
@@ -124,6 +133,7 @@ def main() -> None:
             model, tx,
             adv=AdvConfig(attack="apgd", norm="Linf", eps=4 / 255, n_iter=2),
             mixup=MixupConfig(num_classes=1000, label_smoothing=0.1),
+            randaug=RandAugmentConfig() if use_aug else None,
             ema_decay=0.9999, has_batch_stats=False,
         )
 

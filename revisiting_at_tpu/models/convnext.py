@@ -35,7 +35,9 @@ class ConvNeXtBlock(nn.Module):
     The block tail (everything after the dwconv) has two equivalent compute
     paths sharing one param tree: plain jnp ops, or the fused Pallas kernel
     (ops/block_mlp.py) that keeps the 4C-wide intermediates in VMEM —
-    enabled via `use_pallas` for C <= 384 (where the bwd accumulators fit).
+    enabled via `use_pallas` where the resident weights/accumulators fit
+    (ops/block_mlp.py::tail_fusable: any C <= 384; C <= 512 full backward;
+    C <= 1024 for the input-only attack-closure backward).
     """
 
     dim: int
@@ -98,7 +100,9 @@ class ConvNeXtBlock(nn.Module):
         else:
             keep = None
 
-        if self.use_pallas and C <= 384:
+        from ..ops.block_mlp import tail_fusable
+
+        if self.use_pallas and tail_fusable(C, self.pallas_grad_mode):
             from ..ops.block_mlp import convnext_block_tail
 
             return convnext_block_tail(

@@ -66,6 +66,60 @@ class Attention(nn.Module):
         )(out)
 
 
+class _DenseParams(nn.Module):
+    """Declares nn.Dense-compatible params (kernel/bias) WITHOUT computing.
+
+    The fused block-tail path (ops/block_mlp.py::vit_mlp_tail) consumes the
+    weights directly inside one Pallas kernel; these shims re-declare the
+    exact param paths/shapes/inits of the jnp path's nn.Dense children so
+    the checkpoint tree is identical in both modes (CLAUDE.md: param trees
+    are the checkpoint format)."""
+
+    fin: int
+    fout: int
+
+    @nn.compact
+    def __call__(self) -> tuple[jax.Array, jax.Array]:
+        k = self.param("kernel", trunc_normal_init, (self.fin, self.fout), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.fout,), jnp.float32)
+        return k, b
+
+
+class _ScaleBias(nn.Module):
+    """Params of flax's nn.LayerNorm (child auto-named LayerNorm_0)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self) -> tuple[jax.Array, jax.Array]:
+        s = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return s, b
+
+
+class _LNParams(nn.Module):
+    """Param-path twin of models.layers.LayerNorm (norm2/LayerNorm_0/...)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self) -> tuple[jax.Array, jax.Array]:
+        return _ScaleBias(self.dim, name="LayerNorm_0")()
+
+
+class _MlpParams(nn.Module):
+    """Param-path twin of Mlp (mlp/fc1/..., mlp/fc2/...)."""
+
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseParams(self.dim, self.hidden, name="fc1")()
+        w2, b2 = _DenseParams(self.hidden, self.dim, name="fc2")()
+        return w1, b1, w2, b2
+
+
 class Mlp(nn.Module):
     dim: int
     hidden: int
@@ -99,6 +153,9 @@ class ViTBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     pallas_interpret: bool = False
+    # 'input': the fused MLP-tail backward computes only the input cotangent
+    # (attack closures never differentiate w.r.t. weights — ops/block_mlp.py)
+    pallas_grad_mode: str = "full"
 
     def _ls(self, name: str, x: jax.Array) -> jax.Array:
         if self.init_values is None:
@@ -118,8 +175,42 @@ class ViTBlock(nn.Module):
         )(y)
         y = self._ls("ls1", y)
         x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic=not train)
+
+        hidden = int(self.dim * self.mlp_ratio)
+        from ..ops.block_mlp import tail_fusable
+
+        if self.use_pallas and tail_fusable(self.dim, self.pallas_grad_mode):
+            # fused norm2 -> fc1 -> GELU -> fc2 -> ls2 -> droppath -> residual
+            # in one VMEM-resident Pallas kernel (same kernel as the ConvNeXt
+            # block tail; s == r == x here). Param tree identical to the jnp
+            # path below via the _*Params shims.
+            from ..ops.block_mlp import vit_mlp_tail
+
+            ln_g, ln_b = _LNParams(self.dim, name="norm2")()
+            w1, b1, w2, b2 = _MlpParams(self.dim, hidden, name="mlp")()
+            if self.init_values is not None:
+                gamma = self.param(
+                    "ls2", nn.initializers.constant(self.init_values),
+                    (self.dim,), jnp.float32,
+                )
+            else:
+                gamma = jnp.ones((self.dim,), jnp.float32)
+            if self.drop_path > 0.0 and train:
+                keep_p = 1.0 - self.drop_path
+                mask = jax.random.bernoulli(
+                    self.make_rng("dropout"), p=keep_p, shape=(x.shape[0],)
+                )
+                keep = mask.astype(jnp.float32) / keep_p
+            else:
+                keep = None
+            return vit_mlp_tail(
+                x, keep, ln_g, ln_b, w1, b1, w2, b2, gamma,
+                interpret=self.pallas_interpret,
+                grad_mode=self.pallas_grad_mode,
+            ).astype(self.dtype)
+
         y = LayerNorm(dtype=self.dtype, name="norm2")(x)
-        y = Mlp(self.dim, int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp")(y)
+        y = Mlp(self.dim, hidden, dtype=self.dtype, name="mlp")(y)
         y = self._ls("ls2", y)
         x = x + DropPath(self.drop_path, name="drop_path2")(y, deterministic=not train)
         return x
@@ -147,8 +238,11 @@ class VisionTransformer(nn.Module):
     embed_factory: Callable[..., nn.Module] | None = None
     use_blurpool: bool = False
     remat: bool = False  # checkpoint each transformer block
-    use_pallas: bool = False  # fused attention kernel (ops/attention.py)
+    # fused attention kernel (ops/attention.py) + fused MLP tail where the
+    # kernel-resident state fits (ops/block_mlp.py::tail_fusable)
+    use_pallas: bool = False
     pallas_interpret: bool = False
+    pallas_grad_mode: str = "full"  # 'input' for attack closures (input_grad_view)
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -198,6 +292,7 @@ class VisionTransformer(nn.Module):
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
                 pallas_interpret=self.pallas_interpret,
+                pallas_grad_mode=self.pallas_grad_mode,
                 name=f"block{i}",
             )(tokens, train)
 

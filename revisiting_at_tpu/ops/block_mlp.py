@@ -308,8 +308,38 @@ def _vjp_bwd(m_tile, interpret, grad_mode, m_tile_bwd, res, dy):
 block_mlp.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+def tile_budget(C: int) -> int:
+    """VMEM budget handed to pick_m_tile.
+
+    C <= 384 keeps the measured 14 MB working set (PROFILE.md rooflines).
+    Wider channels need more resident state (bf16 weights alone are
+    4*C*4C bytes; the heavy backward adds f32 dW accumulators), so they
+    get 26 MB against the raised 32 MB scoped cap (_COMPILER_PARAMS)."""
+    return 14_000_000 if C <= 384 else 26_000_000
+
+
+def tail_fusable(C: int, grad_mode: str) -> bool:
+    """Channel-width gate for the fused block tail.
+
+    The kernel is monolithic per grid step: the bf16 W1/W2 (4*C*4C bytes)
+    must be VMEM-resident, plus f32 dW1/dW2 accumulators (8*C*4C) for the
+    full backward. Under the 32 MB scoped cap that admits:
+      - any C <= 384 (both modes, 14 MB working set — the measured config)
+      - heavy/full backward through C=512 (fixed 12*C*4C = 12.6 MB @512;
+        28.3 MB @768 busts the budget) — ViT-M
+      - input-only backward (attack closures) through C=1024 (fixed
+        4*C*4C = 16.8 MB @1024; 37.7 MB @1536 busts even the cap) —
+        ViT-B blocks and ConvNeXt-B/L upper stages inside APGD closures.
+    """
+    if C <= 384:
+        return True
+    if grad_mode == "input":
+        return C <= 1024
+    return C <= 512
+
+
 def pick_m_tile(M: int, C: int, H: int, heavy: bool = True) -> int:
-    """Largest tile dividing M whose kernel VMEM footprint fits ~12 MB.
+    """Largest tile dividing M whose kernel VMEM footprint fits the budget.
 
     heavy=True (full backward): resident bf16 weights + f32 dW1/dW2
     accumulators + ~4 f32 H-wide and ~4 f32 C-wide per-row temporaries.
@@ -317,8 +347,7 @@ def pick_m_tile(M: int, C: int, H: int, heavy: bool = True) -> int:
     larger tiles, fewer grid steps."""
     fixed = 2 * C * H * 2 + (2 * C * H * 4 if heavy else 0)
     per_row = 16 * H + 16 * C
-    # the Mosaic scoped-vmem limit is 16 MB; leave headroom for spills
-    budget = 14_000_000
+    budget = tile_budget(C)
     cap = max(16, (budget - fixed) // per_row)
     # Mosaic requires the sublane (2nd-minor) block dim to be a multiple of 8
     # or equal to the array dim; search multiples of 8 dividing M, largest
@@ -330,6 +359,52 @@ def pick_m_tile(M: int, C: int, H: int, heavy: bool = True) -> int:
     if best is not None:
         return best
     return M if M <= cap or M % 8 != 0 else 8
+
+
+def vit_mlp_tail(
+    x: jax.Array,  # block input after attention residual [B, N, C]
+    keep: jax.Array | None,  # per-sample droppath scale [B] f32; None = inactive
+    ln_g: jax.Array, ln_b: jax.Array,
+    w1: jax.Array, b1: jax.Array,
+    w2: jax.Array, b2: jax.Array,
+    gamma: jax.Array,
+    *,
+    interpret: bool = False,
+    grad_mode: str = "full",
+) -> jax.Array:
+    """Token-sequence wrapper for the ViT MLP tail: norm2 -> fc1 -> GELU ->
+    fc2 -> LayerScale -> (DropPath) -> residual (models/vit.py ViTBlock,
+    rebuilding the timm Mlp the reference's ViTs use,
+    utils_architecture.py:271-301).
+
+    Identical computation to the ConvNeXt block tail with s == r == x: the
+    LN input IS the residual. keep=None flattens [B,N] into one grid row
+    (the common case: DropPath off, or the eval-mode attack closure).
+    """
+    B, N, C = x.shape
+    H = w1.shape[1]
+    heavy_bwd = grad_mode != "input"
+    if keep is None:
+        BM = B * N
+        xr = x.reshape(1, BM, C)
+        y = block_mlp(
+            xr, xr, jnp.ones((1,), jnp.float32),
+            ln_g, ln_b, w1.astype(jnp.bfloat16), b1,
+            w2.astype(jnp.bfloat16), b2, gamma,
+            pick_m_tile(BM, C, H, heavy=False), interpret, grad_mode,
+            pick_m_tile(BM, C, H, heavy=heavy_bwd),
+        )
+        return y.reshape(B, N, C)
+    # per-sample keep: batch dim stays a grid axis; N (197/401) is not a
+    # multiple of 8, so the tile is the whole token axis (allowed by Mosaic:
+    # block dim == array dim)
+    return block_mlp(
+        x, x, keep.astype(jnp.float32),
+        ln_g, ln_b, w1.astype(jnp.bfloat16), b1,
+        w2.astype(jnp.bfloat16), b2, gamma,
+        pick_m_tile(N, C, H, heavy=False), interpret, grad_mode,
+        pick_m_tile(N, C, H, heavy=heavy_bwd),
+    )
 
 
 def convnext_block_tail(

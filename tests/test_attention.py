@@ -52,7 +52,10 @@ class TestFusedAttention:
 
     def test_in_model_equivalence(self):
         """vit_micro with use_pallas(interpret) == without: logits and input
-        gradients."""
+        gradients. use_pallas enables BOTH the fused attention kernel and the
+        fused MLP tail (tanh-form GELU, |err| <= ~3e-3 — ops/block_mlp.py),
+        so the model-level tolerance is the gelu-approximation bound; exact
+        attention-kernel parity is asserted by the direct tests above."""
         from revisiting_at_tpu.models import get_model
 
         x = jnp.asarray(
@@ -66,7 +69,7 @@ class TestFusedAttention:
         variables = m_plain.init(jax.random.PRNGKey(0), x, train=False)
         lp = m_plain.apply(variables, x, train=False)
         lf = m_fused.apply(variables, x, train=False)
-        np.testing.assert_allclose(np.asarray(lf), np.asarray(lp), atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(lp), atol=5e-3, rtol=1e-2)
 
         def g(m):
             return jax.grad(
@@ -74,7 +77,7 @@ class TestFusedAttention:
             )(x)
 
         np.testing.assert_allclose(
-            np.asarray(g(m_fused)), np.asarray(g(m_plain)), atol=2e-4, rtol=1e-3
+            np.asarray(g(m_fused)), np.asarray(g(m_plain)), atol=5e-3, rtol=2e-2
         )
 
 

@@ -138,5 +138,108 @@ class TestBlockMlpKernel:
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=5e-3, rtol=2e-2)
 
 
+class TestWideChannelGate:
+    """Channel-width fusion gate (ops/block_mlp.py::tail_fusable) and kernel
+    parity at the wide widths it admits (ViT-M heavy, ConvNeXt-B/L
+    attack-closure input mode)."""
+
+    def test_tail_fusable_table(self):
+        from revisiting_at_tpu.ops.block_mlp import tail_fusable
+
+        assert tail_fusable(96, "full") and tail_fusable(384, "input")
+        assert tail_fusable(512, "full")  # ViT-M: heavy bwd fits @ 26 MB
+        assert not tail_fusable(768, "full")  # ViT-B full bwd stays on XLA
+        assert tail_fusable(768, "input")  # ViT-B attack closure fuses
+        assert tail_fusable(1024, "input")  # ConvNeXt-B stage 3 closure
+        assert not tail_fusable(1536, "input")  # ConvNeXt-L stage 3: never
+
+    def test_wide_heavy_parity_c512(self):
+        args = make_inputs(B=1, M=16, C=512, seed=7)
+        m_tile = pick_m_tile(16, 512, 2048)
+        y_k = np.asarray(block_mlp(*args, m_tile, True), np.float64)
+        y_r = np.asarray(ref_impl(*args), np.float64)
+        # bf16 accumulation over H=2048 makes elementwise rtol meaningless
+        # near zeros — bound the error against the output scale instead
+        assert np.abs(y_k - y_r).max() / (np.abs(y_r).max() + 1e-6) < 1e-2
+        argnums = (0, 5, 7)
+        gk = jax.grad(lambda *a: jnp.sum(block_mlp(*a, m_tile, True) ** 2),
+                      argnums=argnums)(*args)
+        gr = jax.grad(lambda *a: jnp.sum(ref_impl(*a) ** 2), argnums=argnums)(*args)
+        for n, a, b in zip(("ds", "dw1", "dw2"), gk, gr):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            denom = np.abs(b).max() + 1e-6
+            assert np.abs(a - b).max() / denom < 3e-2, (n, np.abs(a - b).max(), denom)
+
+    def test_wide_input_mode_parity_c1024(self):
+        args = make_inputs(B=1, M=8, C=1024, seed=8)
+        m_tile = pick_m_tile(8, 1024, 4096, heavy=False)
+        gk = jax.grad(lambda *a: jnp.sum(block_mlp(*a, m_tile, True, "input") ** 2))(
+            *args
+        )
+        gr = jax.grad(lambda *a: jnp.sum(ref_impl(*a) ** 2))(*args)
+        a, b = np.asarray(gk, np.float64), np.asarray(gr, np.float64)
+        assert np.abs(a - b).max() / (np.abs(b).max() + 1e-6) < 3e-2
+
+
+class TestVitMlpTail:
+    """ViT blocks reuse the fused kernel for norm2->fc1->gelu->fc2->ls2
+    (ops/block_mlp.py::vit_mlp_tail); s == r == block input."""
+
+    def _models(self, **kw):
+        from revisiting_at_tpu.models import get_model
+
+        common = dict(not_original=True, num_classes=7, dtype=jnp.float32, **kw)
+        m0, _ = get_model("vit_micro", **common)
+        m1, _ = get_model("vit_micro", use_pallas=True, pallas_interpret=True, **common)
+        return m0, m1
+
+    def test_param_tree_identical(self):
+        m0, m1 = self._models()
+        v0 = m0.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+        v1 = m1.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+        p0 = jax.tree_util.tree_flatten_with_path(v0["params"])[0]
+        p1 = jax.tree_util.tree_flatten_with_path(v1["params"])[0]
+        assert [(jax.tree_util.keystr(k), v.shape) for k, v in p0] == [
+            (jax.tree_util.keystr(k), v.shape) for k, v in p1
+        ]
+
+    def test_fwd_and_input_grad_match(self):
+        m0, m1 = self._models()
+        v = m0.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        a = m0.apply(v, x, train=False)
+        b = m1.apply(v, x, train=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-2)
+        ga = jax.grad(lambda xx: jnp.sum(m0.apply(v, xx, train=False)))(x)
+        gb = jax.grad(lambda xx: jnp.sum(m1.apply(v, xx, train=False)))(x)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=5e-3, rtol=2e-2)
+
+    def test_input_grad_mode_matches_full(self):
+        _, m1 = self._models()
+        v = m1.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        m1i = m1.clone(pallas_grad_mode="input")
+        g_full = jax.grad(lambda xx: jnp.sum(m1.apply(v, xx, train=False)))(x)
+        g_in = jax.grad(lambda xx: jnp.sum(m1i.apply(v, xx, train=False)))(x)
+        np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_in), atol=1e-6)
+
+    def test_droppath_train_path(self):
+        """Per-sample keep layout ([B, N, C] grid, tile == token axis)."""
+        m0, m1 = self._models(drop_path_rate=0.5)
+        v = m0.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (4, 32, 32, 3))
+        o = m1.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
+        assert o.shape == (4, 7) and bool(jnp.all(jnp.isfinite(o)))
+        # weight grads flow in train mode (full grad path)
+        g = jax.grad(
+            lambda p: jnp.sum(
+                m1.apply({"params": p}, x, train=True,
+                         rngs={"dropout": jax.random.PRNGKey(2)})
+            )
+        )(v["params"])
+        flat = jax.tree_util.tree_leaves(g)
+        assert all(bool(jnp.all(jnp.isfinite(l))) for l in flat)
+
+
 if __name__ == "__main__":
     sys.exit(pytest.main([__file__, "-x", "-q"]))
