@@ -229,6 +229,125 @@ def resnet_from_torch(
     return params, stats
 
 
+def densenet_from_torch(
+    sd: Mapping[str, Any],
+) -> tuple[dict[str, np.ndarray], dict[str, np.ndarray]]:
+    """timm/torchvision DenseNet state_dict (the reference's 'densnet201',
+    utils_architecture.py:310-311) -> (flat params, flat batch_stats) for
+    models/densenet.py.
+
+    `features.denseblock{B}.denselayer{L}` maps to `block{B-1}_layer{L-1}`,
+    `features.transition{T}` to `transition{T-1}_*`, `features.norm5` to
+    `norm_final`; `num_batches_tracked` buffers are dropped."""
+    sd = strip_prefixes(sd)
+    params: dict[str, np.ndarray] = {}
+    stats: dict[str, np.ndarray] = {}
+
+    def bn(src: str, dst: str) -> None:
+        params[f"{dst}/scale"] = sd[f"{src}.weight"]
+        params[f"{dst}/bias"] = sd[f"{src}.bias"]
+        stats[f"{dst}/mean"] = sd[f"{src}.running_mean"]
+        stats[f"{dst}/var"] = sd[f"{src}.running_var"]
+
+    params["conv0/kernel"] = _conv(sd["features.conv0.weight"])
+    bn("features.norm0", "norm0")
+
+    blocks = sorted(
+        {int(k.split(".")[1][len("denseblock"):])
+         for k in sd if k.startswith("features.denseblock")}
+    )
+    for B in blocks:
+        layers = sorted(
+            {int(k.split(".")[2][len("denselayer"):])
+             for k in sd if k.startswith(f"features.denseblock{B}.")}
+        )
+        for L in layers:
+            src = f"features.denseblock{B}.denselayer{L}"
+            dst = f"block{B - 1}_layer{L - 1}"
+            bn(f"{src}.norm1", f"{dst}/norm1")
+            params[f"{dst}/conv1/kernel"] = _conv(sd[f"{src}.conv1.weight"])
+            bn(f"{src}.norm2", f"{dst}/norm2")
+            params[f"{dst}/conv2/kernel"] = _conv(sd[f"{src}.conv2.weight"])
+        if f"features.transition{B}.conv.weight" in sd:
+            bn(f"features.transition{B}.norm", f"transition{B - 1}_norm")
+            params[f"transition{B - 1}_conv/kernel"] = _conv(
+                sd[f"features.transition{B}.conv.weight"]
+            )
+
+    bn("features.norm5", "norm_final")
+    params["classifier/kernel"] = _lin(sd["classifier.weight"])
+    params["classifier/bias"] = sd["classifier.bias"]
+    return params, stats
+
+
+# torchvision/timm inception_v3 branch names per block type -> our
+# models/inception.py branch names (the same BasicConv conv/bn pair inside)
+_INC_STEM = {
+    "Conv2d_1a_3x3": "Conv2d_1a", "Conv2d_2a_3x3": "Conv2d_2a",
+    "Conv2d_2b_3x3": "Conv2d_2b", "Conv2d_3b_1x1": "Conv2d_3b",
+    "Conv2d_4a_3x3": "Conv2d_4a",
+}
+_INC_A = {
+    "branch1x1": "b1x1", "branch5x5_1": "b5_1", "branch5x5_2": "b5_2",
+    "branch3x3dbl_1": "b3_1", "branch3x3dbl_2": "b3_2",
+    "branch3x3dbl_3": "b3_3", "branch_pool": "bpool",
+}
+_INC_B = {
+    "branch3x3": "b3", "branch3x3dbl_1": "bd_1", "branch3x3dbl_2": "bd_2",
+    "branch3x3dbl_3": "bd_3",
+}
+_INC_C = {
+    "branch1x1": "b1x1", "branch7x7_1": "b7_1", "branch7x7_2": "b7_2",
+    "branch7x7_3": "b7_3", "branch7x7dbl_1": "bd_1", "branch7x7dbl_2": "bd_2",
+    "branch7x7dbl_3": "bd_3", "branch7x7dbl_4": "bd_4",
+    "branch7x7dbl_5": "bd_5", "branch_pool": "bpool",
+}
+_INC_D = {
+    "branch3x3_1": "b3_1", "branch3x3_2": "b3_2", "branch7x7x3_1": "b7_1",
+    "branch7x7x3_2": "b7_2", "branch7x7x3_3": "b7_3", "branch7x7x3_4": "b7_4",
+}
+_INC_E = {
+    "branch1x1": "b1x1", "branch3x3_1": "b3_1", "branch3x3_2a": "b3_2a",
+    "branch3x3_2b": "b3_2b", "branch3x3dbl_1": "bd_1",
+    "branch3x3dbl_2": "bd_2", "branch3x3dbl_3a": "bd_3a",
+    "branch3x3dbl_3b": "bd_3b", "branch_pool": "bpool",
+}
+_INC_BLOCKS = {
+    "Mixed_5b": _INC_A, "Mixed_5c": _INC_A, "Mixed_5d": _INC_A,
+    "Mixed_6a": _INC_B, "Mixed_6b": _INC_C, "Mixed_6c": _INC_C,
+    "Mixed_6d": _INC_C, "Mixed_6e": _INC_C, "Mixed_7a": _INC_D,
+    "Mixed_7b": _INC_E, "Mixed_7c": _INC_E,
+}
+
+
+def inception_from_torch(
+    sd: Mapping[str, Any],
+) -> tuple[dict[str, np.ndarray], dict[str, np.ndarray]]:
+    """torchvision/timm inception_v3 state_dict (the reference's 'inception',
+    utils_architecture.py:313-314) -> (flat params, flat batch_stats) for
+    models/inception.py. The training-time aux classifier (`AuxLogits.*`) is
+    dropped — the reference never uses it for AT."""
+    sd = strip_prefixes(sd)
+    params: dict[str, np.ndarray] = {}
+    stats: dict[str, np.ndarray] = {}
+
+    def basic_conv(src: str, dst: str) -> None:
+        params[f"{dst}/conv/kernel"] = _conv(sd[f"{src}.conv.weight"])
+        params[f"{dst}/bn/scale"] = sd[f"{src}.bn.weight"]
+        params[f"{dst}/bn/bias"] = sd[f"{src}.bn.bias"]
+        stats[f"{dst}/bn/mean"] = sd[f"{src}.bn.running_mean"]
+        stats[f"{dst}/bn/var"] = sd[f"{src}.bn.running_var"]
+
+    for src, dst in _INC_STEM.items():
+        basic_conv(src, dst)
+    for block, branches in _INC_BLOCKS.items():
+        for src, dst in branches.items():
+            basic_conv(f"{block}.{src}", f"{block}/{dst}")
+    params["fc/kernel"] = _lin(sd["fc.weight"])
+    params["fc/bias"] = sd["fc.bias"]
+    return params, stats
+
+
 def to_param_tree(flat: dict[str, np.ndarray], target_params: Any) -> Any:
     """Unflatten {'a/b/c': arr} into the structure of `target_params`,
     verifying every target leaf is covered and shapes match."""
@@ -294,7 +413,8 @@ def merge_param_tree(flat: dict[str, np.ndarray], target_params: Any) -> tuple[A
     return flax.traverse_util.unflatten_dict(out, sep="/"), report
 
 
-def load_timm_pretrained(path: str, model_name: str, target_params: Any) -> tuple[Any, dict]:
+def load_timm_pretrained(path: str, model_name: str, target_params: Any,
+                         target_batch_stats: Any = None) -> tuple[Any, dict]:
     """Initialize params from a LOCAL timm pretrained checkpoint.
 
     Reference semantics (`get_new_model(pretrained=True)`,
@@ -305,15 +425,41 @@ def load_timm_pretrained(path: str, model_name: str, target_params: Any) -> tupl
     state_dict, optionally wrapped in {'model': ...} / {'state_dict': ...}).
 
     Returns (params, report). Raises if the file loads but nothing matches
-    (wrong architecture)."""
+    (wrong architecture). For the BN family pass `target_batch_stats`: the
+    merged running-stats tree is returned as report['batch_stats'] (a
+    pretrained BN model without its running stats is broken)."""
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=False)
     for wrapper in ("model", "state_dict", "model_state_dict"):
         if isinstance(sd, dict) and wrapper in sd and isinstance(sd[wrapper], dict):
             sd = sd[wrapper]
+    bn_mappers = {
+        "resnet50": resnet_from_torch, "resnet50_gelu": resnet_from_torch,
+        "resnet101": resnet_from_torch, "wrn_50_2": resnet_from_torch,
+        "densnet201": densenet_from_torch, "inception": inception_from_torch,
+    }
     # map with the ORIGINAL stem layout: a pretrained timm checkpoint always
     # has the patchify stem; ConvStem targets simply keep their random init
+    if model_name in bn_mappers:
+        try:
+            flat, flat_stats = bn_mappers[model_name](sd)
+        except KeyError as e:
+            raise ValueError(
+                f"pretrained checkpoint {path} is missing key {e} expected "
+                f"for {model_name} — wrong file or architecture"
+            ) from e
+        params, report = merge_param_tree(flat, target_params)
+        if target_batch_stats is not None:
+            stats, s_report = merge_param_tree(flat_stats, target_batch_stats)
+            report["batch_stats"] = stats
+            report["stats_kept_random"] = s_report["kept_random"]
+        if not report["loaded"]:
+            raise ValueError(
+                f"pretrained checkpoint {path} matched no parameters of "
+                f"{model_name} — wrong file or architecture"
+            )
+        return params, report
     if model_name.startswith("convnext"):
         flat = convnext_from_torch_partial(sd)
     elif model_name.startswith(("vit", "deit")):
@@ -445,20 +591,24 @@ def load_torch_checkpoint(path: str, model_name: str, target_params: Any,
     Returns the params tree; for the BN family (resnet50/resnet50_gelu/
     resnet101/wrn_50_2) pass `target_batch_stats` and a
     (params, batch_stats) pair is returned instead — torch running stats
-    live in our mutable `batch_stats` collection, not in params.
-    densenet201/inception have no torch mapping yet (documented exclusion:
-    the reference builds them timm-pretrained, utils_architecture.py:313-322,
-    but publishes no robust checkpoints for them)."""
+    live in our mutable `batch_stats` collection, not in params. The BN
+    family covers the whole reference zoo (utils_architecture.py:303-322):
+    resnet50/101, wrn_50_2, densnet201, inception."""
     import torch
 
     sd = torch.load(path, map_location="cpu")
     if isinstance(sd, dict) and "model_state_dict" in sd:  # full_model_*.pth
         sd = sd["model_state_dict"]
-    if model_name in ("resnet50", "resnet50_gelu", "resnet101", "wrn_50_2"):
+    bn_mappers = {
+        "resnet50": resnet_from_torch, "resnet50_gelu": resnet_from_torch,
+        "resnet101": resnet_from_torch, "wrn_50_2": resnet_from_torch,
+        "densnet201": densenet_from_torch, "inception": inception_from_torch,
+    }
+    if model_name in bn_mappers:
         assert target_batch_stats is not None, (
             "BN-family import needs target_batch_stats"
         )
-        flat_p, flat_s = resnet_from_torch(sd)
+        flat_p, flat_s = bn_mappers[model_name](sd)
         return (
             to_param_tree(flat_p, target_params),
             to_param_tree(flat_s, target_batch_stats),

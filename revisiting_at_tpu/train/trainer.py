@@ -100,8 +100,11 @@ class Trainer:
             from ..ckpt.torch_import import load_timm_pretrained
 
             params, report = load_timm_pretrained(
-                cfg.model.pretrained_path, cfg.model.arch, params
+                cfg.model.pretrained_path, cfg.model.arch, params,
+                target_batch_stats=batch_stats,
             )
+            if report.get("batch_stats") is not None:
+                batch_stats = report["batch_stats"]
             print(
                 f"pretrained init from {cfg.model.pretrained_path}: "
                 f"{len(report['loaded'])} tensors loaded, "

@@ -477,3 +477,325 @@ class TestMergeShapeGuard:
 
 if __name__ == "__main__":
     sys.exit(pytest.main([__file__, "-x", "-q"]))
+
+
+class TDenseLayer(nn.Module):
+    """torchvision densenet layer naming (norm1/conv1/norm2/conv2)."""
+
+    def __init__(self, cin, growth):
+        super().__init__()
+        self.norm1 = nn.BatchNorm2d(cin)
+        self.conv1 = nn.Conv2d(cin, 4 * growth, 1, bias=False)
+        self.norm2 = nn.BatchNorm2d(4 * growth)
+        self.conv2 = nn.Conv2d(4 * growth, growth, 3, padding=1, bias=False)
+
+    def forward(self, x):
+        F = torch.nn.functional
+        y = self.conv1(F.relu(self.norm1(x)))
+        y = self.conv2(F.relu(self.norm2(y)))
+        return torch.cat([x, y], 1)
+
+
+class TDenseNet(nn.Module):
+    """Mini torchvision/timm-style DenseNet (features.denseblockB.denselayerL)."""
+
+    def __init__(self, block_config=(2, 2), growth=8, ninit=16, ncls=NCLS):
+        super().__init__()
+        f = nn.Module()
+        f.conv0 = nn.Conv2d(3, ninit, 7, stride=2, padding=3, bias=False)
+        f.norm0 = nn.BatchNorm2d(ninit)
+        ch = ninit
+        for bi, n in enumerate(block_config):
+            blk = nn.Module()
+            for li in range(n):
+                setattr(blk, f"denselayer{li + 1}", TDenseLayer(ch, growth))
+                ch += growth
+            setattr(f, f"denseblock{bi + 1}", blk)
+            if bi != len(block_config) - 1:
+                tr = nn.Module()
+                tr.norm = nn.BatchNorm2d(ch)
+                tr.conv = nn.Conv2d(ch, ch // 2, 1, bias=False)
+                setattr(f, f"transition{bi + 1}", tr)
+                ch //= 2
+        f.norm5 = nn.BatchNorm2d(ch)
+        self.features = f
+        self.classifier = nn.Linear(ch, ncls)
+        self.block_config = block_config
+
+    def forward(self, x):
+        F = torch.nn.functional
+        f = self.features
+        x = F.max_pool2d(F.relu(f.norm0(f.conv0(x))), 3, 2, 1)
+        for bi, n in enumerate(self.block_config):
+            blk = getattr(f, f"denseblock{bi + 1}")
+            for li in range(n):
+                x = getattr(blk, f"denselayer{li + 1}")(x)
+            if bi != len(self.block_config) - 1:
+                tr = getattr(f, f"transition{bi + 1}")
+                x = F.avg_pool2d(tr.conv(F.relu(tr.norm(x))), 2, 2)
+        x = F.relu(f.norm5(x))
+        x = x.mean(dim=(2, 3))
+        return self.classifier(x)
+
+
+class TestDenseNetImport:
+    """densenet torch import (closes the VERDICT r2 item 6 exclusion);
+    reference builds densnet201 timm-pretrained (utils_architecture.py:310)."""
+
+    def test_logits_parity(self):
+        from revisiting_at_tpu.ckpt.torch_import import densenet_from_torch
+        from revisiting_at_tpu.models.densenet import DenseNet
+
+        torch.manual_seed(40)
+        tm = TDenseNet()
+        tm.train()
+        with torch.no_grad():
+            for _ in range(3):
+                tm(torch.rand(4, 3, 32, 32))
+        tm.eval()
+
+        model = DenseNet(
+            block_config=(2, 2), growth=8, num_init_features=16,
+            num_classes=NCLS, dtype=jnp.float32,
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False
+        )
+        flat_p, flat_s = densenet_from_torch(tm.state_dict())
+        params = to_param_tree(flat_p, variables["params"])
+        stats = to_param_tree(flat_s, variables["batch_stats"])
+
+        with torch.no_grad():
+            x = np.random.RandomState(41).uniform(0, 1, (2, 3, 32, 32)).astype(np.float32)
+            ref = tm(torch.from_numpy(x)).numpy()
+        ours = np.asarray(
+            model.apply(
+                {"params": params, "batch_stats": stats},
+                jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                train=False,
+            )
+        )
+        np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-3)
+
+
+class TBasicConv(nn.Module):
+    def __init__(self, cin, cout, k, stride=1, padding=0):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, k, stride=stride, padding=padding, bias=False)
+        self.bn = nn.BatchNorm2d(cout, eps=0.001)
+
+    def forward(self, x):
+        return torch.nn.functional.relu(self.bn(self.conv(x)))
+
+
+class TIncA(nn.Module):
+    def __init__(self, cin, pool_features):
+        super().__init__()
+        self.branch1x1 = TBasicConv(cin, 64, 1)
+        self.branch5x5_1 = TBasicConv(cin, 48, 1)
+        self.branch5x5_2 = TBasicConv(48, 64, 5, padding=2)
+        self.branch3x3dbl_1 = TBasicConv(cin, 64, 1)
+        self.branch3x3dbl_2 = TBasicConv(64, 96, 3, padding=1)
+        self.branch3x3dbl_3 = TBasicConv(96, 96, 3, padding=1)
+        self.branch_pool = TBasicConv(cin, pool_features, 1)
+
+    def forward(self, x):
+        F = torch.nn.functional
+        b1 = self.branch1x1(x)
+        b5 = self.branch5x5_2(self.branch5x5_1(x))
+        b3 = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+        bp = self.branch_pool(F.avg_pool2d(x, 3, 1, 1))
+        return torch.cat([b1, b5, b3, bp], 1)
+
+
+class TIncB(nn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3 = TBasicConv(cin, 384, 3, stride=2)
+        self.branch3x3dbl_1 = TBasicConv(cin, 64, 1)
+        self.branch3x3dbl_2 = TBasicConv(64, 96, 3, padding=1)
+        self.branch3x3dbl_3 = TBasicConv(96, 96, 3, stride=2)
+
+    def forward(self, x):
+        F = torch.nn.functional
+        b3 = self.branch3x3(x)
+        bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+        return torch.cat([b3, bd, F.max_pool2d(x, 3, 2)], 1)
+
+
+class TIncC(nn.Module):
+    def __init__(self, cin, c7):
+        super().__init__()
+        self.branch1x1 = TBasicConv(cin, 192, 1)
+        self.branch7x7_1 = TBasicConv(cin, c7, 1)
+        self.branch7x7_2 = TBasicConv(c7, c7, (1, 7), padding=(0, 3))
+        self.branch7x7_3 = TBasicConv(c7, 192, (7, 1), padding=(3, 0))
+        self.branch7x7dbl_1 = TBasicConv(cin, c7, 1)
+        self.branch7x7dbl_2 = TBasicConv(c7, c7, (7, 1), padding=(3, 0))
+        self.branch7x7dbl_3 = TBasicConv(c7, c7, (1, 7), padding=(0, 3))
+        self.branch7x7dbl_4 = TBasicConv(c7, c7, (7, 1), padding=(3, 0))
+        self.branch7x7dbl_5 = TBasicConv(c7, 192, (1, 7), padding=(0, 3))
+        self.branch_pool = TBasicConv(cin, 192, 1)
+
+    def forward(self, x):
+        F = torch.nn.functional
+        b1 = self.branch1x1(x)
+        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+        bd = self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
+            self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
+        bp = self.branch_pool(F.avg_pool2d(x, 3, 1, 1))
+        return torch.cat([b1, b7, bd, bp], 1)
+
+
+class TIncD(nn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3_1 = TBasicConv(cin, 192, 1)
+        self.branch3x3_2 = TBasicConv(192, 320, 3, stride=2)
+        self.branch7x7x3_1 = TBasicConv(cin, 192, 1)
+        self.branch7x7x3_2 = TBasicConv(192, 192, (1, 7), padding=(0, 3))
+        self.branch7x7x3_3 = TBasicConv(192, 192, (7, 1), padding=(3, 0))
+        self.branch7x7x3_4 = TBasicConv(192, 192, 3, stride=2)
+
+    def forward(self, x):
+        F = torch.nn.functional
+        b3 = self.branch3x3_2(self.branch3x3_1(x))
+        b7 = self.branch7x7x3_4(self.branch7x7x3_3(self.branch7x7x3_2(
+            self.branch7x7x3_1(x))))
+        return torch.cat([b3, b7, F.max_pool2d(x, 3, 2)], 1)
+
+
+class TIncE(nn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch1x1 = TBasicConv(cin, 320, 1)
+        self.branch3x3_1 = TBasicConv(cin, 384, 1)
+        self.branch3x3_2a = TBasicConv(384, 384, (1, 3), padding=(0, 1))
+        self.branch3x3_2b = TBasicConv(384, 384, (3, 1), padding=(1, 0))
+        self.branch3x3dbl_1 = TBasicConv(cin, 448, 1)
+        self.branch3x3dbl_2 = TBasicConv(448, 384, 3, padding=1)
+        self.branch3x3dbl_3a = TBasicConv(384, 384, (1, 3), padding=(0, 1))
+        self.branch3x3dbl_3b = TBasicConv(384, 384, (3, 1), padding=(1, 0))
+        self.branch_pool = TBasicConv(cin, 192, 1)
+
+    def forward(self, x):
+        F = torch.nn.functional
+        b1 = self.branch1x1(x)
+        b3 = self.branch3x3_1(x)
+        b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+        bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+        bp = self.branch_pool(F.avg_pool2d(x, 3, 1, 1))
+        return torch.cat([b1, b3, bd, bp], 1)
+
+
+class TInception(nn.Module):
+    """Full torchvision inception_v3 naming/topology (no aux classifier) —
+    our InceptionV3 has fixed topology, so the twin is full-size too."""
+
+    def __init__(self, ncls=NCLS):
+        super().__init__()
+        self.Conv2d_1a_3x3 = TBasicConv(3, 32, 3, stride=2)
+        self.Conv2d_2a_3x3 = TBasicConv(32, 32, 3)
+        self.Conv2d_2b_3x3 = TBasicConv(32, 64, 3, padding=1)
+        self.Conv2d_3b_1x1 = TBasicConv(64, 80, 1)
+        self.Conv2d_4a_3x3 = TBasicConv(80, 192, 3)
+        self.Mixed_5b = TIncA(192, 32)
+        self.Mixed_5c = TIncA(256, 64)
+        self.Mixed_5d = TIncA(288, 64)
+        self.Mixed_6a = TIncB(288)
+        self.Mixed_6b = TIncC(768, 128)
+        self.Mixed_6c = TIncC(768, 160)
+        self.Mixed_6d = TIncC(768, 160)
+        self.Mixed_6e = TIncC(768, 192)
+        self.Mixed_7a = TIncD(768)
+        self.Mixed_7b = TIncE(1280)
+        self.Mixed_7c = TIncE(2048)
+        self.fc = nn.Linear(2048, ncls)
+
+    def forward(self, x):
+        F = torch.nn.functional
+        x = self.Conv2d_2b_3x3(self.Conv2d_2a_3x3(self.Conv2d_1a_3x3(x)))
+        x = F.max_pool2d(x, 3, 2)
+        x = self.Conv2d_4a_3x3(self.Conv2d_3b_1x1(x))
+        x = F.max_pool2d(x, 3, 2)
+        for b in ("5b", "5c", "5d", "6a", "6b", "6c", "6d", "6e", "7a", "7b", "7c"):
+            x = getattr(self, f"Mixed_{b}")(x)
+        x = x.mean(dim=(2, 3))
+        return self.fc(x)
+
+
+class TestInceptionImport:
+    """inception torch import (closes the VERDICT r2 item 6 exclusion);
+    reference builds inception_v3 timm-pretrained (utils_architecture.py:313)."""
+
+    def test_logits_parity(self):
+        from revisiting_at_tpu.ckpt.torch_import import inception_from_torch
+        from revisiting_at_tpu.models.inception import InceptionV3
+
+        torch.manual_seed(50)
+        tm = TInception()
+        tm.train()
+        with torch.no_grad():
+            for _ in range(2):
+                tm(torch.rand(2, 3, 96, 96))
+        tm.eval()
+
+        model = InceptionV3(num_classes=NCLS, dtype=jnp.float32)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3)), train=False
+        )
+        flat_p, flat_s = inception_from_torch(tm.state_dict())
+        params = to_param_tree(flat_p, variables["params"])
+        stats = to_param_tree(flat_s, variables["batch_stats"])
+
+        with torch.no_grad():
+            x = np.random.RandomState(51).uniform(0, 1, (2, 3, 96, 96)).astype(np.float32)
+            ref = tm(torch.from_numpy(x)).numpy()
+        ours = np.asarray(
+            model.apply(
+                {"params": params, "batch_stats": stats},
+                jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                train=False,
+            )
+        )
+        np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-3)
+
+
+class TestBnPretrainedPath:
+    """`model.pretrained=1` trainer path for the BN family: params AND
+    running stats must both load (load_timm_pretrained target_batch_stats)."""
+
+    def test_densenet_pretrained_with_stats(self, tmp_path):
+        from revisiting_at_tpu.ckpt.torch_import import load_timm_pretrained
+        from revisiting_at_tpu.models.densenet import DenseNet
+
+        torch.manual_seed(60)
+        tm = TDenseNet()
+        tm.train()
+        with torch.no_grad():
+            tm(torch.rand(4, 3, 32, 32))
+        tm.eval()
+        p = tmp_path / "dn.pth"
+        torch.save(tm.state_dict(), p)
+
+        model = DenseNet(
+            block_config=(2, 2), growth=8, num_init_features=16,
+            num_classes=NCLS, dtype=jnp.float32,
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False
+        )
+        params, report = load_timm_pretrained(
+            str(p), "densnet201", variables["params"],
+            target_batch_stats=variables["batch_stats"],
+        )
+        assert not report["kept_random"]
+        assert report.get("batch_stats") is not None
+        assert not report.get("stats_kept_random")
+        # a populated running mean differs from the init zeros
+        import flax
+
+        stats = flax.traverse_util.flatten_dict(report["batch_stats"], sep="/")
+        assert any(float(np.abs(np.asarray(v)).max()) > 1e-6
+                   for k, v in stats.items() if k.endswith("/mean"))
