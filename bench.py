@@ -112,6 +112,7 @@ def main() -> None:
         record["big_model_rows"] = [
             {k: r[k] for k in (
                 "config", "arch", "res", "mode", "params_m",
+                "batch", "micro_batch", "grad_accum", "remat", "use_pallas",
                 "ms_per_micro_step", "ms_per_batch",
                 "attack_steps_per_s_per_chip", "imgs_per_s",
             ) if k in r}

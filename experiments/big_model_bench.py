@@ -39,6 +39,7 @@ CONFIGS = {
     "b224": dict(arch="convnext_base", res=224, mode="at"),
     "l224": dict(arch="convnext_large", res=224, mode="at"),
     "l320eval": dict(arch="convnext_large", res=320, mode="eval"),
+    "b256eval": dict(arch="convnext_base", res=256, mode="eval"),  # README.md:43
     "vit_s": dict(arch="vit_s", res=224, mode="at"),
     "vit_m": dict(arch="vit_m", res=224, mode="at"),  # C=512: heavy fused tail
     "vit_b": dict(arch="vit_b", res=224, mode="at"),  # C=768: input-mode tail only
