@@ -44,6 +44,9 @@ def get_args(argv=None):
                    help="load a reference PyTorch .pt checkpoint instead of orbax")
     p.add_argument("--use_pallas", type=int, default=0,
                    help="fused block-tail kernel for ConvNeXt eval (TPU only)")
+    p.add_argument("--shard_eval", type=int, default=0,
+                   help="shard each eval batch over ALL local devices (data-"
+                        "parallel single-eval multi-chip; params replicated)")
     return p.parse_args(argv)
 
 
@@ -164,6 +167,16 @@ def main(argv=None):
     if batch_stats is not None:
         variables["batch_stats"] = batch_stats
 
+    mesh = None
+    if args.shard_eval:
+        # multi-chip: shard the batch dim of every dispatched eval batch
+        # over all devices; params replicated (the reference instead farms
+        # whole eval jobs across GPUs, runner_aa_eval.py)
+        from ..parallel.mesh import make_mesh, replicated
+
+        mesh = make_mesh()
+        variables = jax.device_put(variables, replicated(mesh))
+
     from ..train.train_step import input_grad_view
 
     # all eval attacks differentiate w.r.t. the input only
@@ -184,7 +197,7 @@ def main(argv=None):
         attacks = STANDARD_ATTACKS if args.full_aa else SHORT_ATTACKS
         aa_cfg = AutoAttackConfig(
             norm=norm, eps=eps, attacks_to_run=attacks, n_iter=args.n_iter,
-            batch_size=args.batch_size,
+            batch_size=args.batch_size, mesh=mesh,
         )
         aa = AutoAttack(logits_fn, aa_cfg, logger=logger)
         logger.log(f"norm={norm} eps={eps:.5f} attacks={attacks}")

@@ -11,6 +11,14 @@ host as a boolean mask — between attacks we gather still-robust indices,
 pad to the batch size, run the kernel, and scatter flipped points back.
 ε-ball invariants are verified on every returned point (the reference's
 check_imgs culture, utils_eval.py:67-81).
+
+Multi-chip: the reference farms independent eval JOBS across free GPUs
+(runner_aa_eval.py); the TPU-idiomatic equivalent is sharding ONE eval's
+batch dimension over a device mesh (`AutoAttackConfig.mesh`) — every
+attack kernel is per-sample independent, so XLA partitions it
+embarrassingly-parallel over ICI with no code changes to the kernels.
+The model params/captures must be replicated (or FSDP-sharded) over the
+same mesh by the caller (cli/eval.py --shard_eval does this).
 """
 
 from __future__ import annotations
@@ -57,6 +65,9 @@ class AutoAttackConfig:
     seed: int = 0
     batch_size: int = 200
     verbose: bool = True
+    # shard each dispatched batch's leading dim over this mesh's ("data",
+    # "fsdp") axes — single-eval multi-chip parallelism (None: one device)
+    mesh: "jax.sharding.Mesh | None" = None
 
 
 class AutoAttack:
@@ -72,6 +83,18 @@ class AutoAttack:
         self.cfg = cfg
         self.log = (logger.log if logger is not None else print)
         self._jit_logits = jax.jit(logits_fn)
+
+        if cfg.mesh is not None:
+            from ..parallel.mesh import batch_sharding
+
+            n_shards = int(np.prod(list(cfg.mesh.shape.values())))
+            assert cfg.batch_size % n_shards == 0, (
+                f"batch_size {cfg.batch_size} must divide over the "
+                f"{n_shards}-device mesh"
+            )
+            self._batch_sharding = batch_sharding(cfg.mesh)
+        else:
+            self._batch_sharding = None
 
         n_iter = cfg.n_iter
 
@@ -96,13 +119,22 @@ class AutoAttack:
         self._apgd_t = _apgd_t
 
     # ----------------------------------------------------------- utilities
+    def _dev(self, a) -> Array:
+        """Batch array -> device: sharded over the mesh's batch axes when
+        cfg.mesh is set (each attack kernel is per-sample independent, so
+        the XLA partitioner runs it data-parallel), else default placement."""
+        a = jnp.asarray(a)
+        if self._batch_sharding is not None:
+            a = jax.device_put(a, self._batch_sharding)
+        return a
+
     def clean_accuracy(self, x: np.ndarray, y: np.ndarray) -> np.ndarray:
         """Per-point correctness, batched (robustbench clean_accuracy role)."""
         bs = self.cfg.batch_size
         out = np.zeros(len(x), bool)
         for i in range(0, len(x), bs):
             xb, yb, n = self._pad(x[i : i + bs], y[i : i + bs])
-            logits = np.asarray(self._jit_logits(jnp.asarray(xb)))
+            logits = np.asarray(self._jit_logits(self._dev(xb)))
             out[i : i + n] = logits.argmax(-1)[:n] == yb[:n]
         return out
 
@@ -123,7 +155,7 @@ class AutoAttack:
             xb = x[i : i + bs]
             n = len(xb)
             xb, _, _ = self._pad(xb, np.zeros(len(xb), np.int32))
-            logits = np.asarray(self._jit_logits(jnp.asarray(xb)))[:n]
+            logits = np.asarray(self._jit_logits(self._dev(xb)))[:n]
             order = np.argsort(logits, axis=-1)  # ascending
             out[i : i + n] = order[:, -2 : -2 - k : -1]  # 2nd ... (k+1)-th
         return out
@@ -202,7 +234,7 @@ class AutoAttack:
 
         for i in range(0, n, bs):
             xb, yb, nb = self._pad(x[i : i + bs], y[i : i + bs])
-            xb_j, yb_j = jnp.asarray(xb), jnp.asarray(yb)
+            xb_j, yb_j = self._dev(xb), self._dev(yb)
             kb = jax.random.fold_in(rng, i)
 
             if attack == "apgd-ce":
@@ -218,7 +250,7 @@ class AutoAttack:
                 for t in range(cfg.n_target_classes):
                     if not still.any():
                         break
-                    yt = jnp.asarray(targets[:, t].astype(np.int64))
+                    yt = self._dev(targets[:, t].astype(np.int64))
                     adv, acc = self._apgd_t(xb_j, yb_j, yt, jax.random.fold_in(kb, t))
                     adv, acc = np.asarray(adv), np.asarray(acc)
                     got = (~acc[:nb]) & still
@@ -229,7 +261,7 @@ class AutoAttack:
             elif attack == "fab-t":
                 targets = self._top_target_classes(xb)
                 adv, success = fab_attack_targeted(
-                    self.fn, xb_j, yb_j, jnp.asarray(targets.astype(np.int64)),
+                    self.fn, xb_j, yb_j, self._dev(targets.astype(np.int64)),
                     norm=cfg.norm, eps=cfg.eps, n_iter=cfg.n_iter, rng=kb,
                 )
                 adv, success = np.asarray(adv), np.asarray(success)

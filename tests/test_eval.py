@@ -51,6 +51,37 @@ class TestAutoAttackShort:
         np.testing.assert_array_equal(final, robust)
         np.testing.assert_allclose(x_adv[robust], x[robust])
 
+    def test_mesh_sharded_eval_matches_single_device(self):
+        """AutoAttackConfig.mesh shards each dispatched batch over the
+        8-device CPU mesh; attacks are per-sample independent, so the
+        robust set must match the unsharded run exactly."""
+        from revisiting_at_tpu.parallel.mesh import make_mesh
+
+        fn = make_model(seed=5)
+        x, y = make_data(n=24, seed=6)
+        base = dict(
+            norm="Linf", eps=0.1, attacks_to_run=("apgd-ce", "apgd-t"),
+            n_iter=10, n_target_classes=2, batch_size=8, verbose=False,
+        )
+        x_adv0, robust0 = AutoAttack(
+            fn, AutoAttackConfig(**base), logger=None
+        ).run_standard_evaluation(x, y)
+        x_adv1, robust1 = AutoAttack(
+            fn, AutoAttackConfig(**base, mesh=make_mesh()), logger=None
+        ).run_standard_evaluation(x, y)
+        np.testing.assert_array_equal(robust0, robust1)
+        # same attack math modulo reduction order: points land very close
+        np.testing.assert_allclose(x_adv0, x_adv1, atol=1e-5)
+        assert np.abs(x_adv1 - x).max() <= 0.1 + 1e-5
+
+    def test_mesh_batch_divisibility_asserted(self):
+        from revisiting_at_tpu.parallel.mesh import make_mesh
+
+        fn = make_model()
+        cfg = AutoAttackConfig(batch_size=12, mesh=make_mesh(), verbose=False)
+        with pytest.raises(AssertionError, match="must divide"):
+            AutoAttack(fn, cfg, logger=None)
+
     def test_uneven_last_batch_padding(self):
         fn = make_model(seed=2)
         x, y = make_data(n=19)
