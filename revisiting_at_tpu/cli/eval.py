@@ -30,6 +30,9 @@ def get_args(argv=None):
     p.add_argument("--n_ex", type=int, default=5000)
     p.add_argument("--l_norms", type=str, default="Linf", help="comma-separated")
     p.add_argument("--eps", type=float, default=None)
+    p.add_argument("--l_epss", type=str, default="",
+                   help="comma-separated per-norm eps aligned with --l_norms "
+                        "(reference AA_eval.py:76); overrides --eps")
     p.add_argument("--full_aa", type=int, default=0)
     p.add_argument("--img_size", type=int, default=224)
     p.add_argument("--data_dir", type=str, default="")
@@ -188,10 +191,16 @@ def main(argv=None):
     x, y = load_eval_set(args, cfg.data.num_classes)
 
     norms = args.l_norms.split(",")
+    epss = [float(e) for e in args.l_epss.split(",")] if args.l_epss else None
+    if epss is not None:
+        assert len(epss) == len(norms), "--l_epss must align with --l_norms"
     logger = EvalLogger(str(run_dir / f"evaluated_logs_{args.l_norms}_{args.full_aa}.txt"))
 
-    for norm in norms:
-        eps = args.eps if args.eps is not None else EPS_DICT["imagenet"][norm]
+    for norm_idx, norm in enumerate(norms):
+        if epss is not None:
+            eps = epss[norm_idx]
+        else:
+            eps = args.eps if args.eps is not None else EPS_DICT["imagenet"][norm]
         if eps > 1 and norm == "Linf":
             eps /= 255.0
         attacks = STANDARD_ATTACKS if args.full_aa else SHORT_ATTACKS

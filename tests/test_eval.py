@@ -94,6 +94,17 @@ class TestAutoAttackShort:
         assert len(x_adv) == 19 and len(robust) == 19
 
 
+class TestEvalCliArgs:
+    def test_l_epss_parses_and_aligns(self):
+        from revisiting_at_tpu.cli.eval import get_args
+
+        a = get_args(["--run_dir", "/tmp/x", "--l_norms", "Linf,L2",
+                      "--l_epss", "0.0157,2.0"])
+        assert a.l_epss == "0.0157,2.0"
+        epss = [float(e) for e in a.l_epss.split(",")]
+        assert len(epss) == len(a.l_norms.split(","))
+
+
 class TestSquare:
     def test_square_reduces_margin_and_respects_ball(self):
         fn = make_model(seed=3)
