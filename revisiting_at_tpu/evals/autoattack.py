@@ -128,23 +128,35 @@ class AutoAttack:
             a = jax.device_put(a, self._batch_sharding)
         return a
 
+    def _dev_x(self, xb) -> Array:
+        """Pixel batch -> device as [0,1] f32: uint8 crosses the host↔device
+        link at 1 B/px and converts on device (4x less transfer than
+        converting on host — the tunnel makes H2D the eval bottleneck)."""
+        xb = self._dev(xb)
+        if xb.dtype == jnp.uint8:
+            xb = xb.astype(jnp.float32) / 255.0
+        return xb
+
     def clean_accuracy(self, x: np.ndarray, y: np.ndarray) -> np.ndarray:
         """Per-point correctness, batched (robustbench clean_accuracy role)."""
         bs = self.cfg.batch_size
         out = np.zeros(len(x), bool)
         for i in range(0, len(x), bs):
             xb, yb, n = self._pad(x[i : i + bs], y[i : i + bs])
-            logits = np.asarray(self._jit_logits(self._dev(xb)))
+            logits = np.asarray(self._jit_logits(self._dev_x(xb)))
             out[i : i + n] = logits.argmax(-1)[:n] == yb[:n]
         return out
 
     def _pad(self, xb, yb):
+        """Pad to the fixed batch size; pixels stay in their host dtype
+        (uint8 preferred — _dev ships 1 B/px over the host↔device link and
+        converts to [0,1] f32 on device)."""
         n = len(xb)
         bs = self.cfg.batch_size
         if n < bs:
             xb = np.concatenate([xb, np.repeat(xb[-1:], bs - n, axis=0)])
             yb = np.concatenate([yb, np.repeat(yb[-1:], bs - n, axis=0)])
-        return _unit(xb), yb, n
+        return xb, yb, n
 
     def _top_target_classes(self, x: np.ndarray) -> np.ndarray:
         """[N, n_target_classes] target labels: 2nd..k-th most likely class."""
@@ -155,7 +167,7 @@ class AutoAttack:
             xb = x[i : i + bs]
             n = len(xb)
             xb, _, _ = self._pad(xb, np.zeros(len(xb), np.int32))
-            logits = np.asarray(self._jit_logits(self._dev(xb)))[:n]
+            logits = np.asarray(self._jit_logits(self._dev_x(xb)))[:n]
             order = np.argsort(logits, axis=-1)  # ascending
             out[i : i + n] = order[:, -2 : -2 - k : -1]  # 2nd ... (k+1)-th
         return out
@@ -234,7 +246,7 @@ class AutoAttack:
 
         for i in range(0, n, bs):
             xb, yb, nb = self._pad(x[i : i + bs], y[i : i + bs])
-            xb_j, yb_j = self._dev(xb), self._dev(yb)
+            xb_j, yb_j = self._dev_x(xb), self._dev(yb)
             kb = jax.random.fold_in(rng, i)
 
             if attack == "apgd-ce":

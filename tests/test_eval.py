@@ -82,6 +82,23 @@ class TestAutoAttackShort:
         with pytest.raises(AssertionError, match="must divide"):
             AutoAttack(fn, cfg, logger=None)
 
+    def test_uint8_input_matches_f32_path(self):
+        """uint8 eval sets ship 1 B/px and convert on device; results must
+        equal feeding the same pixels as f32/255."""
+        fn = make_model(seed=7)
+        xu8 = np.random.RandomState(8).randint(0, 256, (16, 4, 4, 3), np.uint8)
+        y = np.random.RandomState(9).randint(0, 7, 16).astype(np.int64)
+        cfg = AutoAttackConfig(
+            norm="Linf", eps=0.1, attacks_to_run=("apgd-ce",),
+            n_iter=10, batch_size=8, verbose=False,
+        )
+        adv8, rob8 = AutoAttack(fn, cfg, logger=None).run_standard_evaluation(xu8, y)
+        advf, robf = AutoAttack(fn, cfg, logger=None).run_standard_evaluation(
+            xu8.astype(np.float32) / 255.0, y
+        )
+        np.testing.assert_array_equal(rob8, robf)
+        np.testing.assert_allclose(adv8, advf, atol=1e-6)
+
     def test_uneven_last_batch_padding(self):
         fn = make_model(seed=2)
         x, y = make_data(n=19)
