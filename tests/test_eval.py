@@ -74,6 +74,26 @@ class TestAutoAttackShort:
         np.testing.assert_allclose(x_adv0, x_adv1, atol=1e-5)
         assert np.abs(x_adv1 - x).max() <= 0.1 + 1e-5
 
+    def test_mesh_sharded_fab_and_square(self):
+        """FAB-T and Square are eager (un-jitted) drivers — sharding must
+        propagate through their scans; robust set must match unsharded."""
+        from revisiting_at_tpu.parallel.mesh import make_mesh
+
+        fn = make_model(seed=11)
+        x, y = make_data(n=16, seed=12)
+        base = dict(
+            norm="Linf", eps=0.1, attacks_to_run=("fab-t", "square"),
+            n_iter=5, n_target_classes=2, square_n_queries=60,
+            batch_size=8, verbose=False,
+        )
+        _, robust0 = AutoAttack(
+            fn, AutoAttackConfig(**base), logger=None
+        ).run_standard_evaluation(x, y)
+        _, robust1 = AutoAttack(
+            fn, AutoAttackConfig(**base, mesh=make_mesh()), logger=None
+        ).run_standard_evaluation(x, y)
+        np.testing.assert_array_equal(robust0, robust1)
+
     def test_mesh_batch_divisibility_asserted(self):
         from revisiting_at_tpu.parallel.mesh import make_mesh
 
