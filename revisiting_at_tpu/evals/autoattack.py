@@ -81,7 +81,12 @@ class AutoAttack:
                  logger=None):
         self.fn = logits_fn
         self.cfg = cfg
-        self.log = (logger.log if logger is not None else print)
+        if logger is not None:
+            self.log = logger.log
+        elif cfg.verbose:
+            self.log = print
+        else:
+            self.log = lambda *a, **k: None
         self._jit_logits = jax.jit(logits_fn)
 
         if cfg.mesh is not None:
