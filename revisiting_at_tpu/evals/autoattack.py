@@ -66,7 +66,9 @@ class AutoAttackConfig:
     batch_size: int = 200
     verbose: bool = True
     # shard each dispatched batch's leading dim over this mesh's ("data",
-    # "fsdp") axes — single-eval multi-chip parallelism (None: one device)
+    # "fsdp") axes — single-eval multi-chip parallelism (None: one device).
+    # Single-controller meshes only: batches are device_put from one host
+    # (multi-host pods would need make_array_from_process_local_data).
     mesh: "jax.sharding.Mesh | None" = None
 
 
