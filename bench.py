@@ -32,6 +32,11 @@ N_ITER = 2
 
 
 def main() -> None:
+    from revisiting_at_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # timing below excludes compile; this only
+    # makes driver re-runs fast and tunnel-flake-resistant
+
     from revisiting_at_tpu.data.mixup import MixupConfig
     from revisiting_at_tpu.models import get_model
     from revisiting_at_tpu.train.ema import ema_init
@@ -75,8 +80,12 @@ def main() -> None:
     images = jnp.asarray(rng.uniform(0, 1, size=(BATCH, RES, RES, 3)), jnp.float32)
     labels = jnp.asarray(rng.randint(0, 1000, size=BATCH), jnp.int32)
 
-    # warmup / compile
-    for _ in range(3):
+    # warmup / compile — the first call compiles over the tunnel; retry
+    # transient remote-compile failures (HTTP 500 / response-body-closed)
+    from revisiting_at_tpu.utils.retry import retry_transient
+
+    state, metrics = retry_transient(lambda: step_fn(state, images, labels))
+    for _ in range(2):
         state, metrics = step_fn(state, images, labels)
     jax.block_until_ready(metrics["loss"])
 
