@@ -50,6 +50,11 @@ def get_args(argv=None):
     p.add_argument("--shard_eval", type=int, default=0,
                    help="shard each eval batch over ALL local devices (data-"
                         "parallel single-eval multi-chip; params replicated)")
+    p.add_argument("--multihost", type=int, default=0,
+                   help="jax.distributed.initialize(); each process attacks "
+                        "its own round-robin shard of the eval set and robust "
+                        "counts are globally summed (the reference's GPU-farm "
+                        "parallelism, runner_aa_eval.py, mapped to hosts)")
     return p.parse_args(argv)
 
 
@@ -101,6 +106,9 @@ def main(argv=None):
     args = get_args(argv)
     import jax
     import jax.numpy as jnp
+
+    if args.multihost:
+        jax.distributed.initialize()  # before any device use
 
     from ..utils.cache import enable_compilation_cache
 
@@ -173,11 +181,11 @@ def main(argv=None):
     mesh = None
     if args.shard_eval:
         # multi-chip: shard the batch dim of every dispatched eval batch
-        # over all devices; params replicated (the reference instead farms
-        # whole eval jobs across GPUs, runner_aa_eval.py)
+        # over this process's devices; params replicated (the reference
+        # instead farms whole eval jobs across GPUs, runner_aa_eval.py)
         from ..parallel.mesh import make_mesh, replicated
 
-        mesh = make_mesh()
+        mesh = make_mesh(devices=jax.local_devices())
         variables = jax.device_put(variables, replicated(mesh))
 
     from ..train.train_step import input_grad_view
@@ -189,12 +197,18 @@ def main(argv=None):
         return attack_view.apply(variables, xb, train=False)
 
     x, y = load_eval_set(args, cfg.data.num_classes)
+    if args.multihost:
+        from ..evals import shard_for_process
+
+        x, y = shard_for_process(x, y)
 
     norms = args.l_norms.split(",")
     epss = [float(e) for e in args.l_epss.split(",")] if args.l_epss else None
     if epss is not None:
         assert len(epss) == len(norms), "--l_epss must align with --l_norms"
-    logger = EvalLogger(str(run_dir / f"evaluated_logs_{args.l_norms}_{args.full_aa}.txt"))
+    # one writer per log file: non-zero ranks log to console only
+    log_path = str(run_dir / f"evaluated_logs_{args.l_norms}_{args.full_aa}.txt")
+    logger = EvalLogger(log_path if jax.process_index() == 0 else None)
 
     for norm_idx, norm in enumerate(norms):
         if epss is not None:
@@ -210,12 +224,15 @@ def main(argv=None):
         )
         aa = AutoAttack(logits_fn, aa_cfg, logger=logger)
         logger.log(f"norm={norm} eps={eps:.5f} attacks={attacks}")
+        from ..evals import global_robust_accuracy
+
         if args.only_clean:
-            acc = aa.clean_accuracy(x, y).mean()
-            logger.log(f"clean accuracy: {acc:.2%}")
+            acc, n_glob = global_robust_accuracy(aa.clean_accuracy(x, y))
+            logger.log(f"clean accuracy: {acc:.2%} ({n_glob} pts)")
             continue
         x_adv, robust = aa.run_standard_evaluation(x, y)
-        logger.log(f"robust accuracy ({norm}): {robust.mean():.2%}")
+        racc, n_glob = global_robust_accuracy(robust)
+        logger.log(f"robust accuracy ({norm}): {racc:.2%} ({n_glob} pts)")
         if args.save_imgs:
             np.save(run_dir / f"aa_adv_{args.n_ex}_{norm}_{eps:.5f}.npy", x_adv)
 

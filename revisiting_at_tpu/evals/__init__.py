@@ -4,6 +4,8 @@ from .autoattack import (
     STANDARD_ATTACKS,
     AutoAttack,
     AutoAttackConfig,
+    global_robust_accuracy,
+    shard_for_process,
 )
 from .square import square_attack
 
@@ -13,5 +15,7 @@ __all__ = [
     "STANDARD_ATTACKS",
     "AutoAttack",
     "AutoAttackConfig",
+    "global_robust_accuracy",
+    "shard_for_process",
     "square_attack",
 ]

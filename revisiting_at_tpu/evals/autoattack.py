@@ -45,6 +45,34 @@ STANDARD_ATTACKS = ("apgd-ce", "apgd-t", "fab-t", "square")
 SHORT_ATTACKS = ("apgd-ce", "apgd-t")  # reference full_aa=0 (AA_eval.py:230-231)
 
 
+def shard_for_process(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Round-robin shard of the eval set for THIS process (multi-host eval:
+    each host attacks its own shard independently — the reference's GPU-farm
+    job parallelism, runner_aa_eval.py, mapped to hosts). No-op when
+    single-process."""
+    n = jax.process_count()
+    if n == 1:
+        return x, y
+    r = jax.process_index()
+    return x[r::n], y[r::n]
+
+
+def global_robust_accuracy(robust_local: np.ndarray) -> tuple[float, int]:
+    """Sum per-process robust counts over all JAX processes. Returns
+    (global robust accuracy, global example count); every rank gets the
+    same numbers (the reference's torchmetrics dist_reduce_fx='sum' role,
+    main.py:1155-1167, for the eval side)."""
+    if jax.process_count() == 1:
+        return float(robust_local.mean()), int(len(robust_local))
+    from jax.experimental import multihost_utils
+
+    counts = multihost_utils.process_allgather(
+        jnp.asarray([int(robust_local.sum()), int(len(robust_local))], jnp.int32)
+    )
+    tot = np.asarray(counts).reshape(-1, 2).sum(axis=0)
+    return float(tot[0] / max(int(tot[1]), 1)), int(tot[1])
+
+
 def _unit(xb: np.ndarray) -> np.ndarray:
     """[0,1] f32 pixels from a uint8 or already-unit-float batch. The eval
     set stays uint8 on host (4x smaller, 5000x224² ≈ 0.7 vs 2.8 GB) and is
