@@ -234,7 +234,10 @@ def main(argv=None):
         racc, n_glob = global_robust_accuracy(robust)
         logger.log(f"robust accuracy ({norm}): {racc:.2%} ({n_glob} pts)")
         if args.save_imgs:
-            np.save(run_dir / f"aa_adv_{args.n_ex}_{norm}_{eps:.5f}.npy", x_adv)
+            # per-rank suffix under multihost: each process holds only its
+            # own eval-set shard, and ranks share run_dir on a common fs
+            rank = f"_r{jax.process_index()}" if jax.process_count() > 1 else ""
+            np.save(run_dir / f"aa_adv_{args.n_ex}_{norm}_{eps:.5f}{rank}.npy", x_adv)
 
 
 if __name__ == "__main__":
