@@ -50,6 +50,12 @@ def get_args(argv=None):
     p.add_argument("--shard_eval", type=int, default=0,
                    help="shard each eval batch over ALL local devices (data-"
                         "parallel single-eval multi-chip; params replicated)")
+    p.add_argument("--tp", type=int, default=0,
+                   help="tensor-parallel axis size: shard the block-MLP "
+                        "params over a 'model' mesh axis (parallel/tp.py; "
+                        "latency lever for the large models at high res); "
+                        "remaining local devices form the data axis; "
+                        "requires --use_pallas 0")
     p.add_argument("--multihost", type=int, default=0,
                    help="jax.distributed.initialize(); each process attacks "
                         "its own round-robin shard of the eval set and robust "
@@ -179,7 +185,23 @@ def main(argv=None):
         variables["batch_stats"] = batch_stats
 
     mesh = None
-    if args.shard_eval:
+    if args.tp and args.tp > 1:
+        # tensor parallel: block-MLP params sharded over the "model" axis,
+        # batch over the remaining ("data") devices — the SURVEY §2.3 option
+        # of model-axis sharding for the large models at high res
+        if args.use_pallas:
+            raise SystemExit("--tp requires --use_pallas 0 (parallel/tp.py)")
+        from ..parallel import (
+            MeshConfig, make_mesh, tp_sharded_leaf_count, tp_tree_shardings,
+        )
+
+        mesh = make_mesh(MeshConfig(model=args.tp), devices=jax.local_devices())
+        tp_sh = tp_tree_shardings(mesh, variables)
+        assert tp_sharded_leaf_count(tp_sh) > 0, (
+            f"--tp {args.tp}: no param matched the TP rules for this arch"
+        )
+        variables = jax.device_put(variables, tp_sh)
+    elif args.shard_eval:
         # multi-chip: shard the batch dim of every dispatched eval batch
         # over this process's devices; params replicated (the reference
         # instead farms whole eval jobs across GPUs, runner_aa_eval.py)

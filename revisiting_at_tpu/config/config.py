@@ -112,6 +112,9 @@ class TrainingSection:
 class DistSection:
     world_size: int = 1  # informational; the mesh derives from jax.devices()
     fsdp: int = 1  # parameter-sharding axis size (1 = pure DP)
+    # tensor-parallel ("model") axis size: Megatron-style block-MLP sharding
+    # via parallel/tp.py rules, XLA auto-partitioned (requires use_pallas=0)
+    tp: int = 1
     address: str = "localhost"
     port: str = "12355"
     # multi-host: call jax.distributed.initialize() before touching devices

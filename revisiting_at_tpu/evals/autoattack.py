@@ -120,12 +120,12 @@ class AutoAttack:
         self._jit_logits = jax.jit(logits_fn)
 
         if cfg.mesh is not None:
-            from ..parallel.mesh import batch_sharding
+            from ..parallel.mesh import batch_shard_count, batch_sharding
 
-            n_shards = int(np.prod(list(cfg.mesh.shape.values())))
+            n_shards = batch_shard_count(cfg.mesh)
             assert cfg.batch_size % n_shards == 0, (
                 f"batch_size {cfg.batch_size} must divide over the "
-                f"{n_shards}-device mesh"
+                f"{n_shards} batch shards of the mesh"
             )
             self._batch_sharding = batch_sharding(cfg.mesh)
         else:

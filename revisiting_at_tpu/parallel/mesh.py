@@ -28,23 +28,42 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 class MeshConfig:
     data: int = -1  # -1: all remaining devices
     fsdp: int = 1
+    model: int = 1  # tensor-parallel axis (parallel/tp.py rules); 1 = absent
 
 
 def make_mesh(config: MeshConfig | None = None, devices=None) -> Mesh:
-    """Build a ("data", "fsdp") mesh over the available devices."""
+    """Build a ("data", "fsdp") mesh — plus a trailing "model" axis when
+    config.model > 1 (tensor parallelism, parallel/tp.py) — over the
+    available devices."""
     config = config or MeshConfig()
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     fsdp = max(config.fsdp, 1)
-    data = config.data if config.data > 0 else n // fsdp
-    assert data * fsdp == n, f"mesh {data}x{fsdp} != {n} devices"
+    model = max(config.model, 1)
+    data = config.data if config.data > 0 else n // (fsdp * model)
+    assert data * fsdp * model == n, f"mesh {data}x{fsdp}x{model} != {n} devices"
+    if model > 1:
+        arr = np.asarray(devices).reshape(data, fsdp, model)
+        return Mesh(arr, axis_names=("data", "fsdp", "model"))
     arr = np.asarray(devices).reshape(data, fsdp)
     return Mesh(arr, axis_names=("data", "fsdp"))
 
 
+def batch_axes(mesh: Mesh) -> tuple[str, ...]:
+    """Mesh axes that shard the batch dim: every axis except "model"
+    (activations replicate over the tensor-parallel axis)."""
+    return tuple(ax for ax in mesh.axis_names if ax != "model")
+
+
+def batch_shard_count(mesh: Mesh) -> int:
+    """Number of ways the batch dim is sharded on this mesh."""
+    return int(np.prod([mesh.shape[ax] for ax in batch_axes(mesh)]))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch dim sharded over data (and fsdp, to use every chip for activations)."""
-    return NamedSharding(mesh, P(("data", "fsdp")))
+    """Batch dim sharded over data (and fsdp, to use every chip for
+    activations); the "model" axis, when present, replicates the batch."""
+    return NamedSharding(mesh, P(batch_axes(mesh)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

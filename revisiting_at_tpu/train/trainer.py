@@ -59,7 +59,14 @@ class Trainer:
         if cfg.misc.debug_nans:
             jax.config.update("jax_debug_nans", True)
 
-        self.mesh = make_mesh(MeshConfig(fsdp=cfg.dist.fsdp))
+        tp = max(int(getattr(cfg.dist, "tp", 1)), 1)
+        if tp > 1 and t.use_pallas:
+            raise ValueError(
+                "dist.tp > 1 requires training.use_pallas=0: the Pallas "
+                "custom calls are opaque to the SPMD partitioner, and the "
+                "tensor-parallel path is XLA auto-partitioned (parallel/tp.py)"
+            )
+        self.mesh = make_mesh(MeshConfig(fsdp=cfg.dist.fsdp, model=tp))
         self.batch_sharding = batch_sharding(self.mesh)
 
         dtype = jnp.bfloat16 if t.precision == "bf16" else jnp.float32
@@ -164,12 +171,25 @@ class Trainer:
         )
         # place: params/opt/ema FSDP-or-replicated (opt moments shard exactly
         # like their params — ZeRO; scalar counts replicate), batch sharded
-        # at call sites
+        # at call sites. Under dist.tp > 1 the TP rules take precedence and
+        # unmatched leaves fall back to the FSDP rule (parallel/tp.py).
+        if tp > 1:
+            from ..parallel import tp_sharded_leaf_count, tp_tree_shardings
+
+            _param_sh = lambda m, p: tp_tree_shardings(m, p)  # noqa: E731
+            _tree_sh = tp_tree_shardings
+            n_tp = tp_sharded_leaf_count(tp_tree_shardings(self.mesh, params))
+            assert n_tp > 0, (
+                f"dist.tp={tp} but no param matched the TP rules for arch "
+                f"{cfg.model.arch!r} (parallel/tp.py TP_RULES)"
+            )
+        else:
+            _param_sh, _tree_sh = param_shardings, tree_shardings
         shardings = TrainState(
             step=replicated(self.mesh),
-            params=param_shardings(self.mesh, params),
-            opt_state=tree_shardings(self.mesh, opt_state),
-            ema_params=param_shardings(self.mesh, params) if use_ema else None,
+            params=_param_sh(self.mesh, params),
+            opt_state=_tree_sh(self.mesh, opt_state),
+            ema_params=_param_sh(self.mesh, params) if use_ema else None,
             batch_stats=jax.tree.map(lambda _: replicated(self.mesh), batch_stats)
             if batch_stats is not None
             else None,
