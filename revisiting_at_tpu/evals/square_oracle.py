@@ -148,6 +148,60 @@ def square_l2_oracle(
     return x_best, margin_min > 0.0
 
 
+def square_linf_oracle(
+    logits_fn, x, y, *, eps, n_queries, p_init=0.8, rng=None
+):
+    """Eager official Linf Square (square.py Linf branch): ±eps vertical
+    stripe init, per-image square windows jumping to a random ±eps vertex
+    around x, margin-improvement acceptance. Consumes the jitted branch's
+    draws (fold_in/split/randint/bernoulli) so trajectories compare exactly;
+    the official resample-until-different loop is skipped on BOTH sides
+    (documented deviation in evals/square.py — it only avoids wasted
+    queries, never changes accepted iterates)."""
+    x = np.asarray(x, np.float32)
+    y = np.asarray(y)
+    b, h, w, c = x.shape
+
+    k_init, k_loop = jax.random.split(rng)
+    stripes = np.where(
+        np.asarray(jax.random.bernoulli(k_init, 0.5, (b, 1, w, c))), eps, -eps
+    ).astype(np.float32)
+    x_best = np.clip(x + stripes, 0.0, 1.0)
+    margin_min = _margin_np(logits_fn, x_best, y)
+    loss_min = margin_min.copy()
+
+    for it in range(n_queries - 1):
+        k = jax.random.fold_in(k_loop, it)
+        _, k_pos, k_sign = jax.random.split(k, 3)
+        p = p_selection(p_init, it)
+        s = int(np.clip(int(round(np.sqrt(p * h * w))), 1, h - 1))
+        vh = np.asarray(jax.random.randint(k_pos, (b, 1, 1, 1), 0, h - s + 1))[
+            :, 0, 0, 0
+        ]
+        vw = np.asarray(
+            jax.random.randint(
+                jax.random.fold_in(k_pos, 1), (b, 1, 1, 1), 0, w - s + 1
+            )
+        )[:, 0, 0, 0]
+        signs = np.where(
+            np.asarray(jax.random.bernoulli(k_sign, 0.5, (b, 1, 1, c))), eps, -eps
+        ).astype(np.float32)
+
+        cand = x_best.copy()
+        for i in range(b):  # official Linf branch loops per image
+            cand[i, vh[i] : vh[i] + s, vw[i] : vw[i] + s, :] = np.clip(
+                x[i, vh[i] : vh[i] + s, vw[i] : vw[i] + s, :] + signs[i], 0.0, 1.0
+            )
+        cand = np.clip(np.clip(cand, x - eps, x + eps), 0.0, 1.0)
+
+        margin_c = _margin_np(logits_fn, cand, y)
+        take = (margin_c < loss_min) & (margin_min > 0.0)
+        x_best = np.where(take[:, None, None, None], cand, x_best)
+        loss_min = np.where(take, margin_c, loss_min)
+        margin_min = np.where(take, margin_c, margin_min)
+    return x_best, margin_min > 0.0
+
+
 def square_l1_oracle(
     logits_fn, x, y, *, eps, n_queries, p_init=0.8, rng=None
 ):

@@ -66,6 +66,15 @@ class TestOracleParity:
         np.testing.assert_allclose(np.asarray(xa), xo, atol=1e-5)
         np.testing.assert_array_equal(np.asarray(acc), acco)
 
+    def test_linf_trajectory(self):
+        fn = make_model(seed=5)
+        x, y = self._data(seed=6)
+        kw = dict(eps=0.05, n_queries=30, rng=jax.random.PRNGKey(13))
+        xa, acc = square_attack(fn, jnp.asarray(x), jnp.asarray(y), norm="Linf", **kw)
+        xo, acco = oracle.square_linf_oracle(fn, x, y, **kw)
+        np.testing.assert_allclose(np.asarray(xa), xo, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(acc), acco)
+
     def test_l1_trajectory(self):
         fn = make_model(seed=3)
         x, y = self._data(seed=4)
