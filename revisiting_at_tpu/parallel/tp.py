@@ -26,6 +26,11 @@ so XLA would all-gather every layer; the MLP is ~2/3 of the ViT FLOPs.
 Pallas note: the fused block-tail/attention custom calls are opaque to the
 SPMD partitioner (it would all-gather around them) — TP therefore uses the
 plain XLA path (`use_pallas=0`); both paths share one param tree.
+
+FSDP composition: unmatched leaves keep the FSDP rule, so dist.tp + fsdp
+runs correctly, but the partitioner may warn about involuntary reshards
+where fsdp-sharded dwconv channels meet model-sharded MLP activations —
+prefer tp alone (or fsdp alone) unless params don't fit.
 """
 
 from __future__ import annotations
