@@ -137,6 +137,7 @@ def main(argv=None):
         use_blurpool=bool(cfg.training.use_blurpool),
         add_normalization=bool(cfg.model.add_normalization),
         use_pallas=bool(args.use_pallas),
+        tp_attn=args.tp if args.tp and args.tp > 1 else 0,
     )
 
     if args.torch_ckpt:
@@ -196,6 +197,7 @@ def main(argv=None):
         )
 
         mesh = make_mesh(MeshConfig(model=args.tp), devices=jax.local_devices())
+        jax.set_mesh(mesh)  # ViT tp_attn constraints resolve against this
         tp_sh = tp_tree_shardings(mesh, variables)
         assert tp_sharded_leaf_count(tp_sh) > 0, (
             f"--tp {args.tp}: no param matched the TP rules for this arch"

@@ -58,6 +58,7 @@ def get_model(
     remat: bool = False,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    tp_attn: int = 0,  # ViT attention-head TP (parallel/tp.py; vit families only)
 ) -> tuple[nn.Module, ModelMeta]:
     """Build a model by reference name. Returns (module, meta).
 
@@ -99,7 +100,8 @@ def get_model(
         embed = partial(ConvStem, siz=48, end_siz=8) if not_original else None
         model = VisionTransformer(
             embed_factory=embed, drop_path_rate=drop_path_rate, remat=remat,
-            use_pallas=use_pallas, pallas_interpret=pallas_interpret, **cfg, **common
+            use_pallas=use_pallas, pallas_interpret=pallas_interpret,
+            tp_attn=tp_attn, **cfg, **common
         )
         meta = ModelMeta(name, "vit")
 
@@ -108,7 +110,8 @@ def get_model(
         embed = partial(ConvStem2, siz=48) if not_original else None
         model = VisionTransformer(
             embed_factory=embed, drop_path_rate=drop_path_rate, remat=remat,
-            use_pallas=use_pallas, pallas_interpret=pallas_interpret, **cfg, **common
+            use_pallas=use_pallas, pallas_interpret=pallas_interpret,
+            tp_attn=tp_attn, **cfg, **common
         )
         meta = ModelMeta(name, "vit")
 
@@ -117,7 +120,8 @@ def get_model(
         embed = partial(ConvStem, siz=48, end_siz=16, fin_dim=None) if not_original else None
         model = VisionTransformer(
             embed_factory=embed, drop_path_rate=drop_path_rate, remat=remat,
-            use_pallas=use_pallas, pallas_interpret=pallas_interpret, **cfg, **common
+            use_pallas=use_pallas, pallas_interpret=pallas_interpret,
+            tp_attn=tp_attn, **cfg, **common
         )
         meta = ModelMeta(name, "vit")
 
@@ -137,7 +141,7 @@ def get_model(
         model = VisionTransformer(
             embed_dim=32, depth=2, num_heads=2, embed_factory=embed,
             drop_path_rate=drop_path_rate, use_pallas=use_pallas,
-            pallas_interpret=pallas_interpret, **common,
+            pallas_interpret=pallas_interpret, tp_attn=tp_attn, **common,
         )
         meta = ModelMeta(name, "vit")
 

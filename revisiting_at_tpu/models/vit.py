@@ -32,6 +32,14 @@ class Attention(nn.Module):
     # in one VMEM-resident grid step per (batch, head)
     use_pallas: bool = False
     pallas_interpret: bool = False
+    # tensor parallelism (parallel/tp.py): shard the HEADS dim of the qkv
+    # activations over the "model" mesh axis. Params stay replicated — XLA
+    # slices the qkv kernel columns per shard and all-reduces after `proj`
+    # (one collective per block). The param-level column split used for the
+    # MLPs can't serve attention: the fused qkv [B,N,3,H,hd] reshape has 3
+    # as its major factor, indivisible by tp. Value = the "model" axis size
+    # (0/1 off); needs a mesh in context at trace time (jax.set_mesh).
+    tp_attn: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -46,6 +54,16 @@ class Attention(nn.Module):
             name="qkv",
         )(x)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        if self.tp_attn > 1 and self.num_heads % self.tp_attn == 0:
+            # batch stays on its data axes (naming them keeps the constraint
+            # compatible with the incoming batch sharding — an unconstrained
+            # batch dim makes the SPMD transpose re-lay the cotangents out)
+            qkv = jax.lax.with_sharding_constraint(
+                qkv,
+                jax.sharding.PartitionSpec(
+                    ("data", "fsdp"), None, None, "model", None
+                ),
+            )
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, hd]
         if self.use_pallas:
             from ..ops.attention import fused_attention
@@ -156,6 +174,7 @@ class ViTBlock(nn.Module):
     # 'input': the fused MLP-tail backward computes only the input cotangent
     # (attack closures never differentiate w.r.t. weights — ops/block_mlp.py)
     pallas_grad_mode: str = "full"
+    tp_attn: int = 0  # attention-head activation sharding (see Attention)
 
     def _ls(self, name: str, x: jax.Array) -> jax.Array:
         if self.init_values is None:
@@ -171,6 +190,7 @@ class ViTBlock(nn.Module):
         y = Attention(
             self.dim, self.num_heads, dtype=self.dtype,
             use_pallas=self.use_pallas, pallas_interpret=self.pallas_interpret,
+            tp_attn=self.tp_attn,
             name="attn",
         )(y)
         y = self._ls("ls1", y)
@@ -243,6 +263,7 @@ class VisionTransformer(nn.Module):
     use_pallas: bool = False
     pallas_interpret: bool = False
     pallas_grad_mode: str = "full"  # 'input' for attack closures (input_grad_view)
+    tp_attn: int = 0  # attention-head activation sharding (see Attention)
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -293,6 +314,7 @@ class VisionTransformer(nn.Module):
                 use_pallas=self.use_pallas,
                 pallas_interpret=self.pallas_interpret,
                 pallas_grad_mode=self.pallas_grad_mode,
+                tp_attn=self.tp_attn,
                 name=f"block{i}",
             )(tokens, train)
 

@@ -68,6 +68,10 @@ class Trainer:
             )
         self.mesh = make_mesh(MeshConfig(fsdp=cfg.dist.fsdp, model=tp))
         self.batch_sharding = batch_sharding(self.mesh)
+        if tp > 1:
+            # ViT attention-head constraints (models/vit.py Attention.tp_attn)
+            # resolve their PartitionSpec against the context mesh at trace time
+            jax.set_mesh(self.mesh)
 
         dtype = jnp.bfloat16 if t.precision == "bf16" else jnp.float32
         self.model, self.meta = get_model(
@@ -81,6 +85,7 @@ class Trainer:
             add_normalization=bool(cfg.model.add_normalization),
             use_pallas=bool(t.use_pallas),
             remat=bool(t.remat),
+            tp_attn=tp if tp > 1 else 0,  # ViT families only (factory)
         )
 
         res = cfg.resolution.max_res

@@ -107,6 +107,60 @@ class TestLogitsParity:
         np.testing.assert_allclose(out, ref, atol=5e-3, rtol=1e-4)
 
 
+class TestAttentionHeadTP:
+    def test_tp_attn_logits_and_input_grad_match(self):
+        """v2: attention heads sharded via the activation constraint in
+        models/vit.py Attention (params replicated; the fused-qkv param
+        split is blocked by the [3,H,hd] major factor)."""
+        model0, _ = get_model("vit_micro", not_original=True, num_classes=11)
+        model2, _ = get_model(
+            "vit_micro", not_original=True, num_classes=11, tp_attn=2
+        )
+        params = model0.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False
+        )["params"]
+        x = jnp.asarray(
+            np.random.RandomState(0).uniform(0, 1, (8, 32, 32, 3)), jnp.float32
+        )
+        ref = jax.jit(lambda v, xb: model0.apply({"params": v}, xb, train=False))(
+            params, x
+        )
+        gref = jax.jit(
+            jax.grad(lambda xb: model0.apply({"params": params}, xb, train=False).sum())
+        )(x)
+
+        mesh = make_mesh(MeshConfig(model=2))
+        with jax.set_mesh(mesh):
+            sh = tp_tree_shardings(mesh, params)
+            ptp = jax.device_put(params, sh)
+            xtp = jax.device_put(x, batch_sharding(mesh))
+            out = jax.jit(
+                lambda v, xb: model2.apply({"params": v}, xb, train=False)
+            )(ptp, xtp)
+            # the attack-closure shape: gradient w.r.t. the INPUT
+            g = jax.jit(
+                jax.grad(
+                    lambda xb: model2.apply({"params": ptp}, xb, train=False).sum()
+                )
+            )(xtp)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-3)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(gref), atol=5e-3)
+
+    def test_tp_attn_skips_indivisible_heads(self):
+        # vit_micro has 2 heads: tp_attn=3 must not constrain (no crash
+        # without any mesh in context proves the gate is static)
+        model3, _ = get_model(
+            "vit_micro", not_original=True, num_classes=11, tp_attn=3
+        )
+        params = model3.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False
+        )["params"]
+        out = model3.apply(
+            {"params": params}, jnp.ones((2, 32, 32, 3)) * 0.5, train=False
+        )
+        assert np.isfinite(np.asarray(out)).all()
+
+
 class TestTrainerTP:
     def _cfg(self, tmp_path, use_pallas=0):
         from revisiting_at_tpu.config import Config
