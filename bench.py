@@ -6,6 +6,12 @@ weight backward, bf16 compute) at the reference's per-accelerator batch of
 80 (run_train.sh:14), and reports inner attack iterations per second per
 chip — the unit named in BASELINE.json.
 
+Also measures two live regression rows (so perf regressions in those paths
+are visible to the driver, not just to experiments/RESULTS_big.json):
+  - ViT-S-CvSt @224 AT step (the second profiled config, PROFILE.md)
+  - ConvNeXt-T-CvSt @224 FULL-RECIPE step (uint8 batch -> on-device
+    RandAugment/erasing/hflip -> mixup/cutmix -> 2-step APGD -> update)
+
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md),
 so the comparison point is a FLOP-derived estimate of the A100 eager
 PyTorch reference: ConvNeXt-T-CvSt ≈ 5.0 GFLOPs/img forward; the AT step is
@@ -31,12 +37,10 @@ RES = 224
 N_ITER = 2
 
 
-def main() -> None:
-    from revisiting_at_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()  # timing below excludes compile; this only
-    # makes driver re-runs fast and tunnel-flake-resistant
-
+def build_at_step(arch: str, *, aug: bool = False):
+    """Build (step_fn, state, images, labels) for a fused 2-step APGD Linf
+    AT step at the reference recipe's bs=80 @224 (run_train.sh:14-18)."""
+    from revisiting_at_tpu.data.augment import RandAugmentConfig
     from revisiting_at_tpu.data.mixup import MixupConfig
     from revisiting_at_tpu.models import get_model
     from revisiting_at_tpu.train.ema import ema_init
@@ -49,7 +53,7 @@ def main() -> None:
     # input-cotangent-only backward for attack closures — 127 vs 202 ms/step
     # on v5e vs the plain XLA path (full profile + rooflines: PROFILE.md)
     model, meta = get_model(
-        "convnext_tiny", not_original=True, dtype=jnp.bfloat16, use_pallas=True
+        arch, not_original=True, dtype=jnp.bfloat16, use_pallas=True
     )
     params = jax.jit(
         lambda r: model.init(r, jnp.zeros((1, RES, RES, 3)), train=False)
@@ -72,34 +76,50 @@ def main() -> None:
         tx,
         adv=AdvConfig(attack="apgd", norm="Linf", eps=4.0 / 255.0, n_iter=N_ITER),
         mixup=MixupConfig(num_classes=1000, label_smoothing=0.1),
+        randaug=RandAugmentConfig() if aug else None,
         ema_decay=0.9999,
         has_batch_stats=False,
     )
 
     rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.uniform(0, 1, size=(BATCH, RES, RES, 3)), jnp.float32)
+    if aug:
+        # production input contract: uint8 batches from tf.data; RandAugment/
+        # erasing/hflip run on device inside the fused step
+        images = jnp.asarray(rng.randint(0, 256, (BATCH, RES, RES, 3)), jnp.uint8)
+    else:
+        images = jnp.asarray(rng.uniform(0, 1, (BATCH, RES, RES, 3)), jnp.float32)
     labels = jnp.asarray(rng.randint(0, 1000, size=BATCH), jnp.int32)
+    return step_fn, state, images, labels
 
-    # warmup / compile — the first call compiles over the tunnel; retry
-    # transient remote-compile failures (HTTP 500 / response-body-closed)
+
+def time_at_step(step_fn, state, images, labels, *, n_steps: int) -> float:
+    """Warmup (retrying transient tunnel-compile failures) + timed loop;
+    returns attack-steps/sec/chip."""
     from revisiting_at_tpu.utils.retry import retry_transient
 
     state, metrics = retry_transient(lambda: step_fn(state, images, labels))
     for _ in range(2):
         state, metrics = step_fn(state, images, labels)
-    jax.block_until_ready(metrics["loss"])
+    # force a readback: block_until_ready can lie on the tunnel (CLAUDE.md)
+    _ = float(metrics["loss"])
 
-    n_steps = 20
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = step_fn(state, images, labels)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])
     dt = time.perf_counter() - t0
 
     n_chips = jax.device_count()
-    train_steps_per_sec = n_steps / dt
-    attack_steps_per_sec_per_chip = train_steps_per_sec * N_ITER / n_chips
-    value = round(attack_steps_per_sec_per_chip, 3)
+    return (n_steps / dt) * N_ITER / n_chips
+
+
+def main() -> None:
+    from revisiting_at_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # timing below excludes compile; this only
+    # makes driver re-runs fast and tunnel-flake-resistant
+
+    value = round(time_at_step(*build_at_step("convnext_tiny"), n_steps=20), 3)
 
     record = {
         "metric": "APGD attack-steps/sec/chip (ConvNeXt-T-CvSt@224, bs80, 2-step Linf AT)",
@@ -108,7 +128,23 @@ def main() -> None:
         "vs_baseline": round(value / BASELINE_ATTACK_STEPS_PER_SEC, 3),
     }
 
-    # big-model rows (ConvNeXt-B/L AT, L@320 eval, ViT-S) measured on the
+    # live regression rows (VERDICT r2 weak#8): measured in this run, each
+    # guarded so a transient failure cannot kill the headline metric
+    regression_rows = []
+    for name, arch, aug in (
+        ("vit_s_cvst_at", "vit_s", False),
+        ("t224_fullrecipe_at", "convnext_tiny", True),
+    ):
+        try:
+            v = time_at_step(*build_at_step(arch, aug=aug), n_steps=10)
+            regression_rows.append(
+                {"config": name, "attack_steps_per_s_per_chip": round(v, 3)}
+            )
+        except Exception as e:  # pragma: no cover - tunnel flakes
+            regression_rows.append({"config": name, "error": repr(e)[:200]})
+    record["regression_rows"] = regression_rows
+
+    # big-model rows (ConvNeXt-B/L AT, L@320 eval, ViT-M/B) measured on the
     # same chip by experiments/big_model_bench.py — compiling all of them
     # inside this bench would blow its time budget, so the last measured
     # results ride along for the record (regenerate: see that script)
