@@ -19,6 +19,7 @@ sane. Results land in experiments/RESULTS_mini.json (+ .md summary).
 
 Run (needs the TPU to itself; ~10 min):
   python experiments/mini_robustness.py all
+  python experiments/mini_robustness.py all vit_s   # ViT-family twin proof
 """
 
 from __future__ import annotations
@@ -79,11 +80,12 @@ def _run(cmd: list[str], log_path: Path) -> None:
         raise SystemExit(f"command failed rc={rc}: {' '.join(cmd)}")
 
 
-def _train_one(name: str, attack: str, epochs: int) -> Path:
-    folder = RUNS / f"mini_{name}"
+def _train_one(name: str, attack: str, epochs: int, arch: str = ARCH,
+               suffix: str = "") -> Path:
+    folder = RUNS / f"mini_{name}{suffix}"
     common = [
         sys.executable, "-m", "revisiting_at_tpu.cli.train",
-        "--model.arch", ARCH, "--model.not_original", "1",
+        "--model.arch", arch, "--model.not_original", "1",
         "--model.model_ema", "1",
         "--data.dataset", "folder",
         "--data.train_dataset", str(DATA / "train"),
@@ -128,27 +130,32 @@ def _eval_one(run_dir: Path, tag: str) -> dict:
     return {"clean_acc": float(clean.group(1)), "robust_acc": float(robust.group(1))}
 
 
-def main(stage: str = "all") -> None:
+def main(stage: str = "all", arch: str = ARCH) -> None:
     t0 = time.time()
+    # second family proof (e.g. `all vit_s`) writes its own artifacts and
+    # run dirs; the default convnext_tiny names stay unchanged
+    suffix = "" if arch == ARCH else f"_{arch}"
     results: dict = {
         "dataset": "sklearn digits (1797 real 8x8 scans -> 64x64 JPEG, 10 classes)",
-        "arch": ARCH + " + ConvStem", "res": RES,
+        "arch": arch + " + ConvStem", "res": RES,
         "eps_linf": EPS, "attack": "APGD 2-step Linf AT",
         "eval": "in-repo AutoAttack short mode (APGD-CE + APGD-T, 100 iter, 256 val imgs)",
     }
     if stage in ("prepare", "all"):
         prepare()
     if stage in ("train", "all"):
-        results["clean_run"] = str(_train_one("clean", "none", epochs=40))
-        results["at_run"] = str(_train_one("at", "apgd", epochs=150))
+        results["clean_run"] = str(
+            _train_one("clean", "none", epochs=40, arch=arch, suffix=suffix))
+        results["at_run"] = str(
+            _train_one("at", "apgd", epochs=150, arch=arch, suffix=suffix))
     if stage in ("eval", "all"):
         if "clean_run" not in results:
-            results["clean_run"] = str(sorted((RUNS / "mini_clean").glob("*/params.json"))[-1].parent)
-            results["at_run"] = str(sorted((RUNS / "mini_at").glob("*/params.json"))[-1].parent)
-        results["clean_model"] = _eval_one(Path(results["clean_run"]), "clean")
-        results["at_model"] = _eval_one(Path(results["at_run"]), "at")
+            results["clean_run"] = str(sorted((RUNS / f"mini_clean{suffix}").glob("*/params.json"))[-1].parent)
+            results["at_run"] = str(sorted((RUNS / f"mini_at{suffix}").glob("*/params.json"))[-1].parent)
+        results["clean_model"] = _eval_one(Path(results["clean_run"]), f"clean{suffix}")
+        results["at_model"] = _eval_one(Path(results["at_run"]), f"at{suffix}")
         results["wall_clock_s"] = round(time.time() - t0, 1)
-        out = REPO / "experiments" / "RESULTS_mini.json"
+        out = REPO / "experiments" / f"RESULTS_mini{suffix}.json"
         out.write_text(json.dumps(results, indent=2) + "\n")
         print(json.dumps(results, indent=2))
         c, a = results["clean_model"], results["at_model"]
@@ -159,4 +166,5 @@ def main(stage: str = "all") -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "all")
+    main(sys.argv[1] if len(sys.argv) > 1 else "all",
+         sys.argv[2] if len(sys.argv) > 2 else ARCH)
