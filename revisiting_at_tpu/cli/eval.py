@@ -186,6 +186,7 @@ def main(argv=None):
         variables["batch_stats"] = batch_stats
 
     mesh = None
+    mesh_ctx = None
     if args.tp and args.tp > 1:
         # tensor parallel: block-MLP params sharded over the "model" axis,
         # batch over the remaining ("data") devices — the SURVEY §2.3 option
@@ -197,7 +198,9 @@ def main(argv=None):
         )
 
         mesh = make_mesh(MeshConfig(model=args.tp), devices=jax.local_devices())
-        jax.set_mesh(mesh)  # ViT tp_attn constraints resolve against this
+        # ViT tp_attn constraints resolve against the thread-local context
+        # mesh; keep the token so in-process callers (tests) get it restored
+        mesh_ctx = jax.set_mesh(mesh)
         tp_sh = tp_tree_shardings(mesh, variables)
         assert tp_sharded_leaf_count(tp_sh) > 0, (
             f"--tp {args.tp}: no param matched the TP rules for this arch"
@@ -212,56 +215,61 @@ def main(argv=None):
         mesh = make_mesh(devices=jax.local_devices())
         variables = jax.device_put(variables, replicated(mesh))
 
-    from ..train.train_step import input_grad_view
+    try:
+        from ..train.train_step import input_grad_view
 
-    # all eval attacks differentiate w.r.t. the input only
-    attack_view = input_grad_view(model)
+        # all eval attacks differentiate w.r.t. the input only
+        attack_view = input_grad_view(model)
 
-    def logits_fn(xb):
-        return attack_view.apply(variables, xb, train=False)
+        def logits_fn(xb):
+            return attack_view.apply(variables, xb, train=False)
 
-    x, y = load_eval_set(args, cfg.data.num_classes)
-    if args.multihost:
-        from ..evals import shard_for_process
+        x, y = load_eval_set(args, cfg.data.num_classes)
+        if args.multihost:
+            from ..evals import shard_for_process
 
-        x, y = shard_for_process(x, y)
+            x, y = shard_for_process(x, y)
 
-    norms = args.l_norms.split(",")
-    epss = [float(e) for e in args.l_epss.split(",")] if args.l_epss else None
-    if epss is not None:
-        assert len(epss) == len(norms), "--l_epss must align with --l_norms"
-    # one writer per log file: non-zero ranks log to console only
-    log_path = str(run_dir / f"evaluated_logs_{args.l_norms}_{args.full_aa}.txt")
-    logger = EvalLogger(log_path if jax.process_index() == 0 else None)
-
-    for norm_idx, norm in enumerate(norms):
+        norms = args.l_norms.split(",")
+        epss = [float(e) for e in args.l_epss.split(",")] if args.l_epss else None
         if epss is not None:
-            eps = epss[norm_idx]
-        else:
-            eps = args.eps if args.eps is not None else EPS_DICT["imagenet"][norm]
-        if eps > 1 and norm == "Linf":
-            eps /= 255.0
-        attacks = STANDARD_ATTACKS if args.full_aa else SHORT_ATTACKS
-        aa_cfg = AutoAttackConfig(
-            norm=norm, eps=eps, attacks_to_run=attacks, n_iter=args.n_iter,
-            batch_size=args.batch_size, mesh=mesh,
-        )
-        aa = AutoAttack(logits_fn, aa_cfg, logger=logger)
-        logger.log(f"norm={norm} eps={eps:.5f} attacks={attacks}")
-        from ..evals import global_robust_accuracy
+            assert len(epss) == len(norms), "--l_epss must align with --l_norms"
+        # one writer per log file: non-zero ranks log to console only
+        log_path = str(run_dir / f"evaluated_logs_{args.l_norms}_{args.full_aa}.txt")
+        logger = EvalLogger(log_path if jax.process_index() == 0 else None)
 
-        if args.only_clean:
-            acc, n_glob = global_robust_accuracy(aa.clean_accuracy(x, y))
-            logger.log(f"clean accuracy: {acc:.2%} ({n_glob} pts)")
-            continue
-        x_adv, robust = aa.run_standard_evaluation(x, y)
-        racc, n_glob = global_robust_accuracy(robust)
-        logger.log(f"robust accuracy ({norm}): {racc:.2%} ({n_glob} pts)")
-        if args.save_imgs:
-            # per-rank suffix under multihost: each process holds only its
-            # own eval-set shard, and ranks share run_dir on a common fs
-            rank = f"_r{jax.process_index()}" if jax.process_count() > 1 else ""
-            np.save(run_dir / f"aa_adv_{args.n_ex}_{norm}_{eps:.5f}{rank}.npy", x_adv)
+        for norm_idx, norm in enumerate(norms):
+            if epss is not None:
+                eps = epss[norm_idx]
+            else:
+                eps = args.eps if args.eps is not None else EPS_DICT["imagenet"][norm]
+            if eps > 1 and norm == "Linf":
+                eps /= 255.0
+            attacks = STANDARD_ATTACKS if args.full_aa else SHORT_ATTACKS
+            aa_cfg = AutoAttackConfig(
+                norm=norm, eps=eps, attacks_to_run=attacks, n_iter=args.n_iter,
+                batch_size=args.batch_size, mesh=mesh,
+            )
+            aa = AutoAttack(logits_fn, aa_cfg, logger=logger)
+            logger.log(f"norm={norm} eps={eps:.5f} attacks={attacks}")
+            from ..evals import global_robust_accuracy
+
+            if args.only_clean:
+                acc, n_glob = global_robust_accuracy(aa.clean_accuracy(x, y))
+                logger.log(f"clean accuracy: {acc:.2%} ({n_glob} pts)")
+                continue
+            x_adv, robust = aa.run_standard_evaluation(x, y)
+            racc, n_glob = global_robust_accuracy(robust)
+            logger.log(f"robust accuracy ({norm}): {racc:.2%} ({n_glob} pts)")
+            if args.save_imgs:
+                # per-rank suffix under multihost: each process holds only
+                # its own eval-set shard, and ranks share run_dir on a
+                # common fs
+                rank = f"_r{jax.process_index()}" if jax.process_count() > 1 else ""
+                np.save(run_dir / f"aa_adv_{args.n_ex}_{norm}_{eps:.5f}{rank}.npy", x_adv)
+    finally:
+        if mesh_ctx is not None:
+            mesh_ctx.__exit__(None, None, None)
 
 
 if __name__ == "__main__":

@@ -68,10 +68,14 @@ class Trainer:
             )
         self.mesh = make_mesh(MeshConfig(fsdp=cfg.dist.fsdp, model=tp))
         self.batch_sharding = batch_sharding(self.mesh)
+        self._mesh_ctx = None
         if tp > 1:
             # ViT attention-head constraints (models/vit.py Attention.tp_attn)
-            # resolve their PartitionSpec against the context mesh at trace time
-            jax.set_mesh(self.mesh)
+            # resolve their PartitionSpec against the context mesh at trace
+            # time; jax.set_mesh swaps the THREAD-LOCAL context globally, so
+            # keep the token for release_mesh() (in-process embedders/tests
+            # must not leak this mesh into later Trainer instances)
+            self._mesh_ctx = jax.set_mesh(self.mesh)
 
         dtype = jnp.bfloat16 if t.precision == "bf16" else jnp.float32
         self.model, self.meta = get_model(
@@ -295,6 +299,17 @@ class Trainer:
         self.logger.log(init_record)
 
     # ------------------------------------------------------------- resume
+    def release_mesh(self) -> None:
+        """Restore the global mesh context captured when dist.tp > 1.
+
+        The train CLI never needs this (the process exits); in-process
+        users (tests, notebooks) must call it before building another
+        Trainer/jit on a different mesh, or every later trace sees this
+        trainer's ("data","fsdp","model") mesh."""
+        if self._mesh_ctx is not None:
+            self._mesh_ctx.__exit__(None, None, None)
+            self._mesh_ctx = None
+
     def try_resume(self) -> bool:
         restored = self.ckpt.restore_latest(self.state)
         if restored is None:

@@ -187,27 +187,44 @@ class TestTrainerTP:
         from revisiting_at_tpu.train.trainer import Trainer
 
         tr = Trainer(self._cfg(tmp_path))
-        assert dict(tr.mesh.shape) == {"data": 4, "fsdp": 1, "model": 2}
-        # params, EMA and optimizer moments all carry the model axis
-        assert tp_sharded_leaf_count(tr.state_shardings.params) == 12
-        assert tp_sharded_leaf_count(tr.state_shardings.ema_params) == 12
-        assert tp_sharded_leaf_count(tr.state_shardings.opt_state) == 24
-        imgs, labels = next(iter(tr.train_data))
-        ib, lb = tr._put_batch(imgs, labels)
-        state, metrics = tr.train_step(tr.state, ib, lb)
-        l1 = float(metrics["loss"])
-        state, metrics = tr.train_step(state, ib, lb)
-        l2 = float(metrics["loss"])
-        assert np.isfinite(l1) and np.isfinite(l2)
-        assert int(state.step) == 2
-        # the updated params keep their TP shardings (no silent re-layout)
-        p_leaf = jax.tree_util.tree_flatten_with_path(state.params)[0]
-        tp_after = sum(
-            1
-            for _, v in p_leaf
-            if "model" in str(getattr(v, "sharding", ""))
-        )
-        assert tp_after > 0
+        try:
+            assert dict(tr.mesh.shape) == {"data": 4, "fsdp": 1, "model": 2}
+            # params, EMA and optimizer moments all carry the model axis
+            assert tp_sharded_leaf_count(tr.state_shardings.params) == 12
+            assert tp_sharded_leaf_count(tr.state_shardings.ema_params) == 12
+            assert tp_sharded_leaf_count(tr.state_shardings.opt_state) == 24
+            imgs, labels = next(iter(tr.train_data))
+            ib, lb = tr._put_batch(imgs, labels)
+            state, metrics = tr.train_step(tr.state, ib, lb)
+            l1 = float(metrics["loss"])
+            state, metrics = tr.train_step(state, ib, lb)
+            l2 = float(metrics["loss"])
+            assert np.isfinite(l1) and np.isfinite(l2)
+            assert int(state.step) == 2
+            # the updated params keep their TP shardings (no silent re-layout)
+            p_leaf = jax.tree_util.tree_flatten_with_path(state.params)[0]
+            tp_after = sum(
+                1
+                for _, v in p_leaf
+                if "model" in str(getattr(v, "sharding", ""))
+            )
+            assert tp_after > 0
+        finally:
+            # dist.tp sets the thread-local context mesh globally; restore it
+            # or every later test in the session traces against this mesh
+            tr.release_mesh()
+
+    def test_trainer_releases_context_mesh(self, tmp_path):
+        from jax._src.mesh import get_concrete_mesh
+
+        from revisiting_at_tpu.train.trainer import Trainer
+
+        before = get_concrete_mesh()
+        tr = Trainer(self._cfg(tmp_path))
+        assert get_concrete_mesh() == tr.mesh
+        tr.release_mesh()
+        assert get_concrete_mesh() == before
+        tr.release_mesh()  # idempotent
 
     def test_tp_rejects_pallas(self, tmp_path):
         from revisiting_at_tpu.train.trainer import Trainer

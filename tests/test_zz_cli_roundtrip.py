@@ -7,9 +7,9 @@ contract, reference AA_eval.py:134-138), including the multi-device
 --shard_eval and --tp branches. The real-TPU equivalents are the
 verify-skill surfaces (.claude/skills/verify/SKILL.md).
 
-Named test_zz_* to collect LAST: the eval --tp branch sets a global
-context mesh (jax.set_mesh, no public reset) which should not leak into
-other test files.
+Named test_zz_* to collect LAST as belt-and-braces: the eval --tp branch
+sets the thread-local context mesh while it runs (cli/eval.py restores it
+in a finally; tested implicitly by the eval calls that follow it here).
 """
 
 from pathlib import Path
@@ -32,6 +32,12 @@ def run_dir(tmp_path_factory):
         "--training.precision", "fp32",
         "--resolution.min_res", "32", "--resolution.max_res", "32",
         "--validation.batch_size", "16", "--validation.resolution", "32",
+        # in-training adversarial validation -> ckpt_best (reference
+        # best_adv_weights intent) + step-cadence telemetry, both round-
+        # tripped below
+        "--validation.adv_val_freq", "1", "--validation.adv_val_iter", "2",
+        "--validation.adv_val_batches", "1",
+        "--logging.log_every_steps", "2",
         "--logging.folder", str(folder),
     ])
     runs = sorted(Path(folder).glob("model_*"))
@@ -47,6 +53,16 @@ class TestTrainArtifacts:
         assert ckpts, "no orbax checkpoint written"
         log = (run_dir / "log").read_text().splitlines()
         assert any('"epoch"' in l and '"train_loss"' in l for l in log)
+
+    def test_step_telemetry_records(self, run_dir):
+        log = (run_dir / "log").read_text().splitlines()
+        steps = [l for l in log if '"step"' in l and '"imgs_per_s"' in l]
+        assert steps, "log_every_steps produced no per-step records"
+
+    def test_adv_val_and_best_ckpt(self, run_dir):
+        log = (run_dir / "log").read_text().splitlines()
+        assert any('"adv_val"' in l for l in log)
+        assert list((run_dir / "ckpt_best").glob("*")), "no best-adv checkpoint"
 
 
 class TestEvalCLI:
@@ -70,6 +86,13 @@ class TestEvalCLI:
 
     def test_eval_shard_eval_branch(self, run_dir):
         self._eval(run_dir, ("--shard_eval", "1", "--only_clean"))
+
+    def test_eval_checkpoint_selection_flags(self, run_dir):
+        # EMA weights, the best-adv-val checkpoint, and an explicit epoch
+        # (epochs=1 -> step 0 is the only checkpoint) all restore and run
+        self._eval(run_dir, ("--use_ema", "1", "--only_clean"))
+        self._eval(run_dir, ("--best", "--only_clean"))
+        self._eval(run_dir, ("--epoch", "0", "--only_clean"))
 
     def test_eval_tp_branch_runs_last(self, run_dir):
         # sets the global context mesh — keep as the final test (see module
