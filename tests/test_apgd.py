@@ -297,6 +297,35 @@ class TestFgsmGoldenParity:
         )
         np.testing.assert_allclose(ours, ref, atol=1e-6)
 
+    def test_no_rs_skip_projection_parity(self):
+        # the deterministic path with the two non-default knobs the trainer
+        # can bind (fgsm_train.py:93-97): skip_projection leaves the step
+        # unprojected/unclamped; alpha scales it
+        sys.path.insert(0, REFERENCE_DIR)
+        import types
+
+        import torch
+
+        for mod in ("robustbench", "autoattack"):
+            sys.modules.setdefault(mod, types.ModuleType(mod))
+        from fgsm_train import fgsm_train as ref_fgsm
+
+        x, y, w, b = make_problem(12)
+        model = torch_model(w, b)
+        ref = ref_fgsm(
+            model, torch.from_numpy(x), torch.from_numpy(y), 0.05,
+            alpha=2.0, use_rs=False, skip_projection=True,
+        ).detach().numpy()
+        ours = np.asarray(
+            fgsm_train(
+                jax_logits_fn(w, b), jnp.asarray(x), jnp.asarray(y),
+                eps=0.05, alpha=2.0, use_rs=False, skip_projection=True,
+            )
+        )
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+        # genuinely unprojected: some perturbation must exceed eps
+        assert np.abs(ours - x).max() > 0.05
+
     def test_rs_ball_invariant(self):
         x, y, w, b = make_problem(10)
         out = fgsm_train(
