@@ -43,6 +43,8 @@ def get_args(argv=None):
     p.add_argument("--use_ema", type=int, default=0)
     p.add_argument("--save_imgs", action="store_true")
     p.add_argument("--n_iter", type=int, default=100)
+    p.add_argument("--square_queries", type=int, default=5000,
+                   help="Square attack query budget (autoattack n_queries)")
     p.add_argument("--torch_ckpt", type=str, default="",
                    help="load a reference PyTorch .pt checkpoint instead of orbax")
     p.add_argument("--use_pallas", type=int, default=0,
@@ -248,6 +250,7 @@ def main(argv=None):
             attacks = STANDARD_ATTACKS if args.full_aa else SHORT_ATTACKS
             aa_cfg = AutoAttackConfig(
                 norm=norm, eps=eps, attacks_to_run=attacks, n_iter=args.n_iter,
+                square_n_queries=args.square_queries,
                 batch_size=args.batch_size, mesh=mesh,
             )
             aa = AutoAttack(logits_fn, aa_cfg, logger=logger)
