@@ -79,6 +79,11 @@ class ValidationSection:
     batch_size: int = 64
     resolution: int = 224
     lr_tta: int = 0
+    # 'bf16': validate at the training compute dtype; 'fp32': build an
+    # f32-compute twin of the model for the clean val forward (params are
+    # f32 either way — replaces the reference's fp16 autocast val,
+    # main.py:909 + validation.precision)
+    precision: str = "bf16"
     max_batches: int = 200  # reference single_val caps at 200 batches (main.py:928)
     # in-training adversarial validation (reference best_adv_weights intent,
     # main.py:1069-1072): every N epochs run a quick APGD-CE val and track

@@ -320,9 +320,12 @@ def make_eval_step(model, *, lr_tta: bool = False, use_ema: bool = False):
 
     def eval_fn(state: TrainState, images: jax.Array, labels: jax.Array):
         variables = state.ema_variables() if use_ema else state.variables()
-        logits = model.apply(variables, to_unit_pixels(images), train=False)
+        x = to_unit_pixels(images)
+        logits = model.apply(variables, x, train=False)
         if lr_tta:
-            logits = logits + model.apply(variables, images[:, :, ::-1, :], train=False)
+            # hflip TTA (reference main.py:918-919); flip W AFTER the unit
+            # conversion — uint8 folder batches must not hit the model raw
+            logits = logits + model.apply(variables, x[:, :, ::-1, :], train=False)
         top1 = jnp.argmax(logits, -1) == labels
         top5 = jnp.any(
             jax.lax.top_k(logits, 5)[1] == labels[:, None], axis=-1

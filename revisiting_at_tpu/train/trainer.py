@@ -249,7 +249,23 @@ class Trainer:
             mesh=self.mesh if use_shard_map else None,
             state_specs=state_specs,
         )
-        self.eval_step = make_eval_step(self.model, lr_tta=bool(cfg.validation.lr_tta))
+        # optional f32 val forward (validation.precision='fp32'): a compute-
+        # dtype twin sharing the identical (f32) param tree; XLA path — the
+        # Pallas kernels are bf16-internal and eval fwd perf is not critical
+        val_model = self.model
+        if cfg.validation.precision == "fp32" and t.precision != "fp32":
+            val_model, _ = get_model(
+                cfg.model.arch,
+                not_original=bool(cfg.model.not_original),
+                updated=bool(cfg.model.updated),
+                num_classes=cfg.data.num_classes,
+                dtype=jnp.float32,
+                drop_path_rate=cfg.model.drop_path_rate,
+                use_blurpool=bool(t.use_blurpool),
+                add_normalization=bool(cfg.model.add_normalization),
+                tp_attn=tp if tp > 1 else 0,
+            )
+        self.eval_step = make_eval_step(val_model, lr_tta=bool(cfg.validation.lr_tta))
         self.accum = accum
 
         # in-training adversarial validation + best-checkpoint tracking

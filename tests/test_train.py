@@ -159,6 +159,44 @@ class TestAdvValBestCkpt:
             assert np.isfinite(r["loss"]) and r["imgs_per_s"] > 0 and r["lr"] >= 0
 
 
+class TestValPrecisionAndTTA:
+    def test_lr_tta_uint8_matches_unit_float(self, tmp_path):
+        # regression: the flipped TTA forward must see [0,1] pixels too —
+        # uint8 folder batches used to hit the model raw on the TTA branch
+        cfg = tiny_cfg(tmp_path)
+        cfg.validation.lr_tta = 1
+        train, val = tiny_data(cfg)
+        tr = Trainer(cfg, train_data=train, val_data=val)
+        imgs_u8 = np.clip(np.round(val.images[0] * 255), 0, 255).astype(np.uint8)
+        imgs_fq = imgs_u8.astype(np.float32) / 255.0  # identical quantization
+        labels = jnp.asarray(val.labels[0])
+        t1u, t5u = tr.eval_step(tr.state, jnp.asarray(imgs_u8), labels)
+        t1f, t5f = tr.eval_step(tr.state, jnp.asarray(imgs_fq), labels)
+        assert int(t1u) == int(t1f) and int(t5u) == int(t5f)
+
+    def test_val_precision_fp32_twin(self, tmp_path):
+        # validation.precision='fp32' under bf16 training: the clean val
+        # forward must match a from-scratch f32 apply of the same params
+        from revisiting_at_tpu.models import get_model
+
+        cfg = tiny_cfg(tmp_path)
+        cfg.training.precision = "bf16"
+        cfg.validation.precision = "fp32"
+        train, val = tiny_data(cfg)
+        tr = Trainer(cfg, train_data=train, val_data=val)
+        imgs = jnp.asarray(val.images[0])
+        labels = np.asarray(val.labels[0])
+        t1, _ = tr.eval_step(tr.state, imgs, jnp.asarray(labels))
+        m32, _ = get_model(
+            "convnext_micro", not_original=True, num_classes=13,
+            dtype=jnp.float32,
+        )
+        logits = m32.apply({"params": jax.device_get(tr.state.params)},
+                           imgs, train=False)
+        expected = int((np.asarray(logits).argmax(-1) == labels).sum())
+        assert int(t1) == expected
+
+
 class TestRetryTransient:
     def test_retries_transient_then_succeeds(self):
         from revisiting_at_tpu.utils.retry import retry_transient
