@@ -95,9 +95,13 @@ def build_at_step(arch: str, *, aug: bool = False):
 def time_at_step(step_fn, state, images, labels, *, n_steps: int) -> float:
     """Warmup (retrying transient tunnel-compile failures) + timed loop;
     returns attack-steps/sec/chip."""
-    from revisiting_at_tpu.utils.retry import retry_transient
+    from revisiting_at_tpu.utils.retry import buffers_intact, retry_transient
 
-    state, metrics = retry_transient(lambda: step_fn(state, images, labels))
+    state, metrics = retry_transient(
+        lambda: step_fn(state, images, labels),
+        # the step donates state: retry only while those buffers are intact
+        should_retry=lambda: buffers_intact(state, images, labels),
+    )
     for _ in range(2):
         state, metrics = step_fn(state, images, labels)
     # force a readback: block_until_ready can lie on the tunnel (CLAUDE.md)

@@ -11,6 +11,7 @@ set -u
 cd "$(dirname "$0")/.."
 LOG=${1:-experiments/artifacts/queue.log}
 mkdir -p experiments/artifacts
+echo $$ > /tmp/queue.pid   # run_queue2.sh serializes on this pidfile
 
 probe() { timeout 120 python -c "import jax; assert jax.devices()" >/dev/null 2>&1; }
 

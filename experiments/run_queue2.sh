@@ -16,6 +16,13 @@ if [ -f "$PIDFILE" ]; then
     echo "[queue2] waiting on run_queue.sh pid=$PID $(date -u +%T)" | tee -a "$LOG"
     sleep 300
   done
+else
+  # no pidfile (run_queue.sh not launched, or an old launch that predates
+  # the pidfile): fall back to its "done" log sentinel, any queue*.log
+  until grep -qs "^\[queue\] done" experiments/artifacts/queue*.log; do
+    echo "[queue2] waiting on run_queue.sh sentinel $(date -u +%T)" | tee -a "$LOG"
+    sleep 300
+  done
 fi
 
 probe() { timeout 120 python -c "import jax; assert jax.devices()" >/dev/null 2>&1; }

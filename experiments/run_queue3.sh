@@ -13,11 +13,11 @@ cd "$(dirname "$0")/.."
 LOG=${1:-experiments/artifacts/queue3.log}
 mkdir -p experiments/artifacts
 
-until grep -q "^\[queue\] done" experiments/artifacts/queue_r3b.log 2>/dev/null; do
+until grep -qs "^\[queue\] done" experiments/artifacts/queue*.log; do
   echo "[queue3] waiting on run_queue.sh $(date -u +%T)" | tee -a "$LOG"
   sleep 300
 done
-until grep -q "^\[queue2\] done" experiments/artifacts/queue2.log 2>/dev/null; do
+until grep -qs "^\[queue2\] done" experiments/artifacts/queue*.log; do
   echo "[queue3] waiting on run_queue2.sh $(date -u +%T)" | tee -a "$LOG"
   sleep 300
 done

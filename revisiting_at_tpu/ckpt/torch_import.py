@@ -348,6 +348,16 @@ def inception_from_torch(
     return params, stats
 
 
+# BN-family arch -> (params, batch_stats) mapper; single source of truth for
+# both loaders below (the reference zoo at utils_architecture.py:303-322 —
+# 'densnet201' keeps the reference's spelling)
+BN_MAPPERS = {
+    "resnet50": resnet_from_torch, "resnet50_gelu": resnet_from_torch,
+    "resnet101": resnet_from_torch, "wrn_50_2": resnet_from_torch,
+    "densnet201": densenet_from_torch, "inception": inception_from_torch,
+}
+
+
 def to_param_tree(flat: dict[str, np.ndarray], target_params: Any) -> Any:
     """Unflatten {'a/b/c': arr} into the structure of `target_params`,
     verifying every target leaf is covered and shapes match."""
@@ -434,16 +444,11 @@ def load_timm_pretrained(path: str, model_name: str, target_params: Any,
     for wrapper in ("model", "state_dict", "model_state_dict"):
         if isinstance(sd, dict) and wrapper in sd and isinstance(sd[wrapper], dict):
             sd = sd[wrapper]
-    bn_mappers = {
-        "resnet50": resnet_from_torch, "resnet50_gelu": resnet_from_torch,
-        "resnet101": resnet_from_torch, "wrn_50_2": resnet_from_torch,
-        "densnet201": densenet_from_torch, "inception": inception_from_torch,
-    }
     # map with the ORIGINAL stem layout: a pretrained timm checkpoint always
     # has the patchify stem; ConvStem targets simply keep their random init
-    if model_name in bn_mappers:
+    if model_name in BN_MAPPERS:
         try:
-            flat, flat_stats = bn_mappers[model_name](sd)
+            flat, flat_stats = BN_MAPPERS[model_name](sd)
         except KeyError as e:
             raise ValueError(
                 f"pretrained checkpoint {path} is missing key {e} expected "
@@ -599,16 +604,11 @@ def load_torch_checkpoint(path: str, model_name: str, target_params: Any,
     sd = torch.load(path, map_location="cpu")
     if isinstance(sd, dict) and "model_state_dict" in sd:  # full_model_*.pth
         sd = sd["model_state_dict"]
-    bn_mappers = {
-        "resnet50": resnet_from_torch, "resnet50_gelu": resnet_from_torch,
-        "resnet101": resnet_from_torch, "wrn_50_2": resnet_from_torch,
-        "densnet201": densenet_from_torch, "inception": inception_from_torch,
-    }
-    if model_name in bn_mappers:
+    if model_name in BN_MAPPERS:
         assert target_batch_stats is not None, (
             "BN-family import needs target_batch_stats"
         )
-        flat_p, flat_s = bn_mappers[model_name](sd)
+        flat_p, flat_s = BN_MAPPERS[model_name](sd)
         return (
             to_param_tree(flat_p, target_params),
             to_param_tree(flat_s, target_batch_stats),

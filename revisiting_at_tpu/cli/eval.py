@@ -175,7 +175,7 @@ def main(argv=None):
         ckpt_dir = "ckpt_best" if args.best else "ckpt"
         mgr = ocp.CheckpointManager(str((run_dir / ckpt_dir).absolute()))
         step = mgr.latest_step() if args.epoch < 0 else args.epoch
-        assert step is not None, f"no checkpoint in {run_dir}/ckpt"
+        assert step is not None, f"no checkpoint in {run_dir}/{ckpt_dir}"
         restored = mgr.restore(step)
         params = restored["ema_params"] if (args.use_ema and restored.get("ema_params")) else restored["params"]
         batch_stats = restored.get("batch_stats")
@@ -189,35 +189,36 @@ def main(argv=None):
 
     mesh = None
     mesh_ctx = None
-    if args.tp and args.tp > 1:
-        # tensor parallel: block-MLP params sharded over the "model" axis,
-        # batch over the remaining ("data") devices — the SURVEY §2.3 option
-        # of model-axis sharding for the large models at high res
-        if args.use_pallas:
-            raise SystemExit("--tp requires --use_pallas 0 (parallel/tp.py)")
-        from ..parallel import (
-            MeshConfig, make_mesh, tp_sharded_leaf_count, tp_tree_shardings,
-        )
-
-        mesh = make_mesh(MeshConfig(model=args.tp), devices=jax.local_devices())
-        # ViT tp_attn constraints resolve against the thread-local context
-        # mesh; keep the token so in-process callers (tests) get it restored
-        mesh_ctx = jax.set_mesh(mesh)
-        tp_sh = tp_tree_shardings(mesh, variables)
-        assert tp_sharded_leaf_count(tp_sh) > 0, (
-            f"--tp {args.tp}: no param matched the TP rules for this arch"
-        )
-        variables = jax.device_put(variables, tp_sh)
-    elif args.shard_eval:
-        # multi-chip: shard the batch dim of every dispatched eval batch
-        # over this process's devices; params replicated (the reference
-        # instead farms whole eval jobs across GPUs, runner_aa_eval.py)
-        from ..parallel.mesh import make_mesh, replicated
-
-        mesh = make_mesh(devices=jax.local_devices())
-        variables = jax.device_put(variables, replicated(mesh))
-
     try:
+        if args.tp and args.tp > 1:
+            # tensor parallel: block-MLP params sharded over the "model"
+            # axis, batch over the remaining ("data") devices — the SURVEY
+            # §2.3 option of model-axis sharding for large models at high res
+            if args.use_pallas:
+                raise SystemExit("--tp requires --use_pallas 0 (parallel/tp.py)")
+            from ..parallel import (
+                MeshConfig, make_mesh, tp_sharded_leaf_count, tp_tree_shardings,
+            )
+
+            mesh = make_mesh(MeshConfig(model=args.tp), devices=jax.local_devices())
+            # ViT tp_attn constraints resolve against the thread-local
+            # context mesh; set it INSIDE the try so a failing TP-rule
+            # assert or device_put still restores it for in-process callers
+            mesh_ctx = jax.set_mesh(mesh)
+            tp_sh = tp_tree_shardings(mesh, variables)
+            assert tp_sharded_leaf_count(tp_sh) > 0, (
+                f"--tp {args.tp}: no param matched the TP rules for this arch"
+            )
+            variables = jax.device_put(variables, tp_sh)
+        elif args.shard_eval:
+            # multi-chip: shard the batch dim of every dispatched eval batch
+            # over this process's devices; params replicated (the reference
+            # instead farms whole eval jobs across GPUs, runner_aa_eval.py)
+            from ..parallel.mesh import make_mesh, replicated
+
+            mesh = make_mesh(devices=jax.local_devices())
+            variables = jax.device_put(variables, replicated(mesh))
+
         from ..train.train_step import input_grad_view
 
         # all eval attacks differentiate w.r.t. the input only

@@ -13,7 +13,7 @@ trajectories, no dynamic shapes.
 
 Parity: `evals/square_oracle.py` is an eager NumPy-style transcription of
 the official torch code (dynamic slices, python loops) consuming the SAME
-random draws (`_iter_randoms` / `_init_randoms`); tests/test_square_l2.py
+random draws (`_iter_randoms` / `_init_randoms`); tests/test_square.py
 asserts trajectory equality between the two.
 
 Documented deviations from the official library:

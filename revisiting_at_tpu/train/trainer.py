@@ -41,7 +41,7 @@ from .state import TrainState
 from .train_step import (
     AdvConfig, make_adv_eval_step, make_eval_step, make_train_step,
 )
-from ..utils.retry import retry_transient
+from ..utils.retry import buffers_intact, retry_transient
 
 
 class Trainer:
@@ -77,6 +77,17 @@ class Trainer:
             # must not leak this mesh into later Trainer instances)
             self._mesh_ctx = jax.set_mesh(self.mesh)
 
+        try:
+            self._init_rest(cfg, t, tp, train_data, val_data)
+        except BaseException:
+            # a failed construction (bad arch for the TP rules, missing
+            # pretrained file, ckpt-load error, ...) must not leak the
+            # thread-local mesh context: the half-built Trainer is
+            # unreachable, so nobody could call release_mesh() afterwards
+            self.release_mesh()
+            raise
+
+    def _init_rest(self, cfg: Config, t, tp: int, train_data, val_data):
         dtype = jnp.bfloat16 if t.precision == "bf16" else jnp.float32
         self.model, self.meta = get_model(
             cfg.model.arch,
@@ -413,6 +424,9 @@ class Trainer:
                 # failure precedes execution, so donated buffers are intact)
                 self.state, metrics = retry_transient(
                     lambda: self.train_step(self.state, images, labels),
+                    # the step donates state: never retry once those
+                    # buffers were consumed (runtime-flavored transients)
+                    should_retry=lambda: buffers_intact(self.state, images, labels),
                     on_retry=lambda a, e: self.logger.log(
                         {"event": "compile_retry", "attempt": a, "error": str(e)[:200]}
                     ),

@@ -231,3 +231,19 @@ class TestTrainerTP:
 
         with pytest.raises(ValueError, match="use_pallas"):
             Trainer(self._cfg(tmp_path, use_pallas=1))
+
+    def test_failed_init_releases_context_mesh(self, tmp_path):
+        # a construction failure AFTER jax.set_mesh (here: pretrained=1
+        # without a local weights file) must restore the thread-local mesh —
+        # the half-built Trainer is unreachable, nobody can release_mesh()
+        from jax._src.mesh import get_concrete_mesh
+
+        from revisiting_at_tpu.train.trainer import Trainer
+
+        cfg = self._cfg(tmp_path)
+        cfg.model.pretrained = 1
+        cfg.model.pretrained_path = ""
+        before = get_concrete_mesh()
+        with pytest.raises(ValueError, match="pretrained_path"):
+            Trainer(cfg)
+        assert get_concrete_mesh() == before

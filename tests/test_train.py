@@ -234,6 +234,33 @@ class TestRetryTransient:
         with pytest.raises(RuntimeError):
             retry_transient(always_flaky, retries=2, base_delay=0.0)
 
+    def test_should_retry_vetoes_post_donation_retry(self):
+        # "deadline exceeded" can fire at RUNTIME, after donated buffers
+        # were consumed — the veto must propagate the ORIGINAL error instead
+        # of re-invoking on deleted arrays
+        from revisiting_at_tpu.utils.retry import retry_transient
+
+        calls = []
+
+        def runtime_flake():
+            calls.append(1)
+            raise RuntimeError("deadline exceeded while fetching result")
+
+        with pytest.raises(RuntimeError, match="deadline exceeded"):
+            retry_transient(
+                runtime_flake, base_delay=0.0, should_retry=lambda: False
+            )
+        assert len(calls) == 1
+
+    def test_buffers_intact_detects_donated(self):
+        from revisiting_at_tpu.utils.retry import buffers_intact
+
+        x = jnp.ones((8, 8))
+        assert buffers_intact({"a": x, "b": None}, jnp.zeros(3))
+        donating = jax.jit(lambda v: v + 1, donate_argnums=0)
+        _ = donating(x)
+        assert not buffers_intact({"a": x})
+
 
 class TestGradAccum:
     def test_two_microbatches_equal_one_full_batch(self, tmp_path):
