@@ -117,7 +117,40 @@ def time_at_step(step_fn, state, images, labels, *, n_steps: int) -> float:
     return (n_steps / dt) * N_ITER / n_chips
 
 
+def wait_for_tpu(max_wait_s: float = 2700.0) -> bool:
+    """Bounded tunnel probe. The tunnel can go down for hours, and then even
+    `jax.devices()` hangs indefinitely (CLAUDE.md) — probing in a SUBPROCESS
+    with a timeout keeps this process from wedging before it ever prints.
+    Retries every 5 min up to `max_wait_s`; True once the chip answers."""
+    import subprocess
+    import sys
+
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", "import jax; assert jax.devices()"],
+                timeout=120, capture_output=True,
+            )
+            if proc.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False
+        print("[bench] TPU tunnel unreachable, retrying in 5 min",
+              file=sys.stderr, flush=True)
+        time.sleep(300)
+
+
 def main() -> None:
+    import sys
+
+    if not wait_for_tpu():
+        print("[bench] giving up: TPU tunnel unreachable for 45 min",
+              file=sys.stderr, flush=True)
+        raise SystemExit(2)
+
     from revisiting_at_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()  # timing below excludes compile; this only

@@ -94,6 +94,20 @@ class TestEvalCLI:
         self._eval(run_dir, ("--best", "--only_clean"))
         self._eval(run_dir, ("--epoch", "0", "--only_clean"))
 
+    def test_eval_tp_failure_restores_mesh(self, run_dir, monkeypatch):
+        # a failure AFTER jax.set_mesh inside the --tp branch (here: the
+        # no-param-matched-TP-rules assert, forced via monkeypatch) must
+        # still restore the thread-local context mesh
+        from jax._src.mesh import get_concrete_mesh
+
+        from revisiting_at_tpu import parallel
+
+        monkeypatch.setattr(parallel, "tp_sharded_leaf_count", lambda _: 0)
+        before = get_concrete_mesh()
+        with pytest.raises(AssertionError, match="TP rules"):
+            self._eval(run_dir, ("--tp", "2", "--only_clean"))
+        assert get_concrete_mesh() == before
+
     def test_eval_tp_branch_runs_last(self, run_dir):
         # sets the global context mesh — keep as the final test (see module
         # docstring)
