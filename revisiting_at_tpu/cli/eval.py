@@ -80,6 +80,11 @@ def load_eval_set(args, num_classes: int):
                 batch_size=args.batch_size,
                 is_train=False,
                 drop_remainder=False,
+                # robustbench subset order: first n_ex val images by
+                # basename (class-diverse), not by class dir — see
+                # FolderConfig.sort_by_basename
+                sort_by_basename=True,
+                subset_size=args.n_ex,
             )
         )
         xs, ys = [], []

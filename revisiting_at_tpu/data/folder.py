@@ -36,6 +36,14 @@ class FolderConfig:
     shuffle_buffer: int = 8192
     drop_remainder: bool = True
     subset_size: int = 0
+    # order the file list by BASENAME across classes before subsetting.
+    # The reference's eval subset is robustbench.data.load_imagenet(5000)
+    # (AA_eval.py:115-116): shuffle=False over the FLAT val dir's sorted
+    # filename list, i.e. the first N ILSVRC2012_val_*.JPEG by name — a
+    # class-diverse subset. ImageFolder layouts keep those basenames inside
+    # class dirs, so basename order reproduces that exact subset; the
+    # default class-dir order would instead take only the first few classes.
+    sort_by_basename: bool = False
 
 
 def list_image_folder(root: str | Path) -> tuple[list[str], list[int], list[str]]:
@@ -62,6 +70,10 @@ def make_folder_dataset(cfg: FolderConfig, process_index: int = 0, process_count
     tf.config.set_visible_devices([], "TPU")
 
     files, labels, _ = list_image_folder(cfg.root)
+    if cfg.sort_by_basename:
+        order = sorted(range(len(files)), key=lambda i: Path(files[i]).name)
+        files = [files[i] for i in order]
+        labels = [labels[i] for i in order]
     if cfg.subset_size > 0:
         files, labels = files[: cfg.subset_size], labels[: cfg.subset_size]
     ds = tf.data.Dataset.from_tensor_slices((files, np.asarray(labels, np.int32)))

@@ -33,6 +33,34 @@ class TestImageFolder:
         assert len(files) == 6
         assert labels == [0, 0, 0, 1, 1, 1]
 
+    def test_basename_order_reproduces_robustbench_subset(self, tmp_path):
+        # robustbench.data.load_imagenet takes the FIRST n val images in
+        # flat-dir filename order (reference AA_eval.py:115-116); with an
+        # ImageFolder layout that is basename order across classes — the
+        # first-n subset must be class-diverse, not "all of class_0 first"
+        from PIL import Image
+
+        from revisiting_at_tpu.data.folder import FolderConfig, make_folder_dataset
+
+        rng = np.random.RandomState(0)
+        # ILSVRC-style basenames interleave classes: val_0000 -> class_1,
+        # val_0001 -> class_0, val_0002 -> class_1, val_0003 -> class_0
+        layout = [("class_1", "val_0000"), ("class_0", "val_0001"),
+                  ("class_1", "val_0002"), ("class_0", "val_0003")]
+        for cls, name in layout:
+            d = tmp_path / cls
+            d.mkdir(exist_ok=True)
+            arr = rng.randint(0, 255, size=(40, 40, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(str(d / f"{name}.jpg"), quality=90)
+
+        it_fn, _ = make_folder_dataset(
+            FolderConfig(root=str(tmp_path), resolution=32, batch_size=3,
+                         is_train=False, drop_remainder=False,
+                         sort_by_basename=True, subset_size=3)
+        )
+        labels = np.concatenate([lab for _, lab in it_fn()])
+        assert labels.tolist() == [1, 0, 1]  # filename order, both classes
+
     def test_train_pipeline_shapes(self, tmp_path):
         from revisiting_at_tpu.data.folder import FolderConfig, make_folder_dataset
 
