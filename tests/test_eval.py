@@ -142,6 +142,22 @@ class TestEvalCliArgs:
         assert len(epss) == len(a.l_norms.split(","))
 
 
+class TestRunnerCLI:
+    def test_dry_run_expands_job_table(self, capsys):
+        # runs x norms x sizes, sequential (TPU: one process per chip) —
+        # the reference's GPU-farm runner capability (runner_aa_eval.py)
+        from revisiting_at_tpu.cli.runner import main
+
+        main([
+            "--runs", "runs/a", "runs/b", "--l_norms", "Linf,L2",
+            "--img_sizes", "224,256", "--dry_run", "--", "--use_ema", "1",
+        ])
+        outp = capsys.readouterr().out
+        assert "8 eval jobs queued" in outp
+        assert outp.count("--use_ema 1") == 8  # passthrough after --
+        assert "--run_dir runs/b --l_norms L2 --img_size 256" in outp
+
+
 class TestSquare:
     def test_square_reduces_margin_and_respects_ball(self):
         fn = make_model(seed=3)
