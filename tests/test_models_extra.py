@@ -82,5 +82,69 @@ class TestFreezing:
             assert moved == (lbl == "train"), (path, lbl)
 
 
+class TestBlurPool:
+    def test_blur_matches_reference_formula(self):
+        # reference BlurPoolConv2d (main.py:246-257): depthwise 3x3 binomial
+        # /16, stride 1, zero 'SAME' padding, applied BEFORE the strided conv
+        torch = pytest.importorskip("torch")
+        from revisiting_at_tpu.models.layers import blur_pool_2d
+
+        rng = np.random.RandomState(0)
+        x = rng.uniform(0, 1, (2, 9, 9, 16)).astype(np.float32)
+        ours = np.asarray(blur_pool_2d(jnp.asarray(x)))
+
+        filt = torch.tensor([[[[1.0, 2, 1], [2, 4, 2], [1, 2, 1]]]]) / 16.0
+        filt = filt.repeat(16, 1, 1, 1)
+        ref = torch.nn.functional.conv2d(
+            torch.from_numpy(np.transpose(x, (0, 3, 1, 2))), filt,
+            stride=1, padding=(1, 1), groups=16,
+        ).numpy()
+        np.testing.assert_allclose(ours, np.transpose(ref, (0, 2, 3, 1)),
+                                   atol=1e-6)
+
+    def test_gating_and_param_tree_invariance(self):
+        # blur has no params: enabling use_blurpool must not change the
+        # checkpoint tree; it activates only on strided convs with >=16
+        # input channels (reference apply_blurpool, main.py:808-813)
+        from revisiting_at_tpu.models.layers import Conv
+
+        x16 = jnp.asarray(np.random.RandomState(1).uniform(0, 1, (1, 8, 8, 16)),
+                          jnp.float32)
+        x8 = x16[..., :8]
+        for xin, strides, expect_blur in (
+            (x16, (2, 2), True),   # strided, wide enough
+            (x16, (1, 1), False),  # stride 1
+            (x8, (2, 2), False),   # <16 channels
+        ):
+            plain = Conv(features=4, kernel_size=(3, 3), strides=strides)
+            blurred = Conv(features=4, kernel_size=(3, 3), strides=strides,
+                           use_blurpool=True)
+            v = plain.init(jax.random.PRNGKey(0), xin)
+            assert jax.tree.structure(v) == jax.tree.structure(
+                blurred.init(jax.random.PRNGKey(0), xin)
+            )
+            changed = bool(np.any(
+                np.asarray(plain.apply(v, xin))
+                != np.asarray(blurred.apply(v, xin))
+            ))
+            assert changed == expect_blur, (strides, xin.shape)
+
+
+class TestCheckImgs:
+    def test_norms_and_range(self):
+        from revisiting_at_tpu.ops.norms import check_imgs
+
+        x = jnp.zeros((2, 4, 4, 1)) + 0.5
+        adv = x.at[0, 0, 0, 0].add(0.25).at[1].add(-0.1)
+        mx, lo, hi = check_imgs(adv, x, "Linf")
+        assert np.isclose(mx, 0.25) and np.isclose(lo, 0.4) and np.isclose(hi, 0.75)
+        mx2, _, _ = check_imgs(adv, x, "L2")
+        assert np.isclose(mx2, np.sqrt(16 * 0.1**2), atol=1e-6)
+        mx1, _, _ = check_imgs(adv, x, "L1")
+        assert np.isclose(mx1, 16 * 0.1, atol=1e-5)
+        with pytest.raises(ValueError):
+            check_imgs(adv, x, "L0")
+
+
 if __name__ == "__main__":
     sys.exit(pytest.main([__file__, "-x", "-q"]))
