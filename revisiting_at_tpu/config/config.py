@@ -177,6 +177,29 @@ class Config:
     def dump_params_json(self, path: str | Path) -> None:
         Path(path).write_text(json.dumps(self.to_flat_dict(), indent=2))
 
+    # the reference's fastargs OneOf/And validator role (main.py:137,159):
+    # enum-valued knobs fail fast at parse time, not deep inside a trace
+    _CHOICES = {
+        "lr.lr_schedule_type": ("cyclic", "cosine", "step"),
+        "training.optimizer": ("adamw", "sgd"),
+        "training.precision": ("bf16", "fp32"),
+        "validation.precision": ("bf16", "fp32"),
+        "adv.attack": ("none", "fgsm", "apgd"),
+        "adv.norm": ("Linf", "L2", "L1"),
+        "data.dataset": ("folder", "synthetic"),
+    }
+
+    def validate(self) -> "Config":
+        flat = self.to_flat_dict()
+        for key, choices in self._CHOICES.items():
+            if flat[key] not in choices:
+                raise ValueError(f"{key}={flat[key]!r} not in {choices}")
+        if self.resolution.min_res > self.resolution.max_res:
+            raise ValueError("resolution.min_res > max_res (reference main.py:377)")
+        if self.training.grad_accum < 1 or self.adv.n_iter < 0:
+            raise ValueError("training.grad_accum >= 1 and adv.n_iter >= 0 required")
+        return self
+
     def set_flat(self, key: str, value: str) -> None:
         sec_name, param = key.split(".", 1)
         section = getattr(self, sec_name)
@@ -211,7 +234,7 @@ def config_from_args(argv: list[str]) -> Config:
             value = argv[i + 1]
             i += 2
         cfg.set_flat(key, value)
-    return cfg
+    return cfg.validate()
 
 
 def load_params_json(path: str | Path) -> Config:

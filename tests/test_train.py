@@ -197,6 +197,22 @@ class TestValPrecisionAndTTA:
         assert int(t1) == expected
 
 
+class TestConfigValidation:
+    def test_enum_knobs_fail_fast(self):
+        # the reference's fastargs OneOf role (main.py:137,159)
+        from revisiting_at_tpu.config import config_from_args
+
+        cfg = config_from_args(["--adv.attack", "apgd", "--adv.norm", "L2"])
+        assert cfg.adv.attack == "apgd" and cfg.adv.norm == "L2"
+        with pytest.raises(ValueError, match="adv.attack"):
+            config_from_args(["--adv.attack", "pgd7"])
+        with pytest.raises(ValueError, match="validation.precision"):
+            config_from_args(["--validation.precision", "f32"])
+        with pytest.raises(ValueError, match="min_res"):
+            config_from_args(["--resolution.min_res", "256",
+                              "--resolution.max_res", "224"])
+
+
 class TestRetryTransient:
     def test_retries_transient_then_succeeds(self):
         from revisiting_at_tpu.utils.retry import retry_transient
