@@ -11,6 +11,13 @@ set -u
 cd "$(dirname "$0")/.."
 LOG=${1:-experiments/artifacts/queue.log}
 mkdir -p experiments/artifacts
+# rotate stale logs: later queue stages serialize on "done" sentinels in
+# queue*.log, and a retained sentinel from a PAST round would let them race
+# this one onto the chip (two contenders both hang — CLAUDE.md)
+for f in experiments/artifacts/queue*.log; do
+  [ -e "$f" ] && [ "$f" != "$LOG" ] && mv "$f" "$f.old"
+done
+[ -e "$LOG" ] && mv "$LOG" "$LOG.old"
 echo $$ > /tmp/queue.pid   # run_queue2.sh serializes on this pidfile
 
 probe() { timeout 120 python -c "import jax; assert jax.devices()" >/dev/null 2>&1; }

@@ -8,6 +8,7 @@ set -u
 cd "$(dirname "$0")/.."
 LOG=${1:-experiments/artifacts/queue2.log}
 mkdir -p experiments/artifacts
+echo $$ > /tmp/queue2.pid  # run_queue3.sh serializes on this pidfile
 
 PIDFILE=/tmp/queue.pid
 if [ -f "$PIDFILE" ]; then

@@ -13,6 +13,17 @@ cd "$(dirname "$0")/.."
 LOG=${1:-experiments/artifacts/queue3.log}
 mkdir -p experiments/artifacts
 
+# serialize on live pidfiles first (sentinel logs can be stale across
+# rounds; run_queue.sh rotates them at launch, but a pidfile is authoritative)
+for PF in /tmp/queue.pid /tmp/queue2.pid; do
+  if [ -f "$PF" ]; then
+    PID=$(cat "$PF")
+    while kill -0 "$PID" 2>/dev/null; do
+      echo "[queue3] waiting on pid $PID ($PF) $(date -u +%T)" | tee -a "$LOG"
+      sleep 300
+    done
+  fi
+done
 until grep -qs "^\[queue\] done" experiments/artifacts/queue*.log; do
   echo "[queue3] waiting on run_queue.sh $(date -u +%T)" | tee -a "$LOG"
   sleep 300

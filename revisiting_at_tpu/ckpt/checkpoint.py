@@ -34,6 +34,31 @@ def load_train_state(path: str | Path, target: TrainState) -> TrainState:
     return ckptr.restore(path, abstract)
 
 
+def restore_run_params(run_dir: str | Path, *, best: bool = False,
+                       epoch: int = -1, use_ema: bool = False):
+    """Restore (params, batch_stats, step) from a run dir's orbax checkpoint
+    — the shared eval/export CLI path. `best` selects the ckpt_best slot
+    (reference best_adv_weights intent), `epoch` -1 = latest. With use_ema
+    the run MUST hold EMA params (the reference's weights_ema_{e}.pt never
+    silently falls back to raw weights)."""
+    run_dir = Path(run_dir)
+    ckpt_dir = "ckpt_best" if best else "ckpt"
+    mgr = ocp.CheckpointManager(str((run_dir / ckpt_dir).absolute()))
+    step = mgr.latest_step() if epoch < 0 else epoch
+    assert step is not None, f"no checkpoint in {run_dir}/{ckpt_dir}"
+    restored = mgr.restore(step)
+    if use_ema:
+        params = restored.get("ema_params")
+        if not params:
+            raise ValueError(
+                "use_ema requested but the run kept no EMA params "
+                "(trained with model.model_ema=0?)"
+            )
+    else:
+        params = restored["params"]
+    return params, restored.get("batch_stats"), step
+
+
 class CheckpointManager:
     """Epoch-cadence manager: every-epoch weights + every-5-epochs full state,
     mirroring the reference cadence (main.py:734-756) under orbax."""

@@ -41,6 +41,20 @@ def _flatten(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
     return out
 
 
+class _TrackedFlat(dict):
+    """Flat param dict recording which keys a mapper consumed, so
+    export_torch_state_dict can prove FULL coverage — a silently-dropped
+    leaf would otherwise publish a corrupt checkpoint."""
+
+    def __init__(self, d):
+        super().__init__(d)
+        self.read: set[str] = set()
+
+    def __getitem__(self, k):
+        self.read.add(k)
+        return super().__getitem__(k)
+
+
 def _conv_inv(w):  # [kh, kw, I, O] -> [O, I, kh, kw]
     return np.transpose(w, (3, 2, 0, 1))
 
@@ -83,7 +97,10 @@ def _find_convstem_prefix(flat: dict[str, np.ndarray]) -> str | None:
 def convnext_to_torch(params: Any) -> dict[str, np.ndarray]:
     """Our ConvNeXt params tree -> timm-0.8 ConvNeXt state_dict arrays
     (inverse of torch_import.convnext_from_torch)."""
-    flat = _flatten(params)
+    return _convnext_flat_to_torch(_flatten(params))
+
+
+def _convnext_flat_to_torch(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     out: dict[str, np.ndarray] = {}
 
     cvst = _find_convstem_prefix(flat)
@@ -142,7 +159,10 @@ def convnext_to_torch(params: Any) -> dict[str, np.ndarray]:
 def vit_to_torch(params: Any) -> dict[str, np.ndarray]:
     """Our ViT params tree -> timm-0.8 VisionTransformer state_dict arrays
     (inverse of torch_import.vit_from_torch)."""
-    flat = _flatten(params)
+    return _vit_flat_to_torch(_flatten(params))
+
+
+def _vit_flat_to_torch(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     out: dict[str, np.ndarray] = {
         "cls_token": flat["cls_token"],
         "pos_embed": flat["pos_embed"],
@@ -188,18 +208,77 @@ def vit_to_torch(params: Any) -> dict[str, np.ndarray]:
     return out
 
 
+def convnext_iso_to_torch(params: Any) -> dict[str, np.ndarray]:
+    """Our ConvNeXtIsotropic params -> Meta-layout state_dict (the
+    reference's iso format, models/convnext_iso.py: bare 16x16 stem conv,
+    flat blocks.{i}.dwconv/norm/pwconv1/pwconv2[+gamma], final norm, head;
+    ConvStem variant mounts ConvBlock at `stem` — README.md:32's iso-CvSt)."""
+    return _convnext_iso_flat_to_torch(_flatten(params))
+
+
+def _convnext_iso_flat_to_torch(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    cvst = _find_convstem_prefix(flat)
+    if cvst is not None:
+        _convstem_to_torch(flat, cvst, "stem", out)
+    else:
+        out["stem.weight"] = _conv_inv(flat["stem/Conv_0/kernel"])
+        out["stem.bias"] = flat["stem/Conv_0/bias"]
+    _LEAF = {
+        "dwconv_kernel": ("dwconv.weight", _conv_inv),
+        "dwconv_bias": ("dwconv.bias", None),
+        "norm_scale": ("norm.weight", None),
+        "norm_bias": ("norm.bias", None),
+        "pwconv1_kernel": ("pwconv1.weight", _lin_inv),
+        "pwconv1_bias": ("pwconv1.bias", None),
+        "pwconv2_kernel": ("pwconv2.weight", _lin_inv),
+        "pwconv2_bias": ("pwconv2.bias", None),
+        "gamma": ("gamma", None),
+    }
+    for k in flat:
+        m = re.match(r"block(\d+)/(.+)$", k)
+        if not m:
+            continue
+        if m.group(2) not in _LEAF:
+            raise ValueError(f"unmapped iso block leaf {k!r}")
+        name, tf = _LEAF[m.group(2)]
+        out[f"blocks.{m.group(1)}.{name}"] = tf(flat[k]) if tf else flat[k]
+    out["norm.weight"] = flat["head_norm/LayerNorm_0/scale"]
+    out["norm.bias"] = flat["head_norm/LayerNorm_0/bias"]
+    out["head.weight"] = _lin_inv(flat["head/kernel"])
+    out["head.bias"] = flat["head/bias"]
+    return out
+
+
 def export_torch_state_dict(params: Any, model_name: str) -> dict[str, np.ndarray]:
-    """Dispatch by family. `params` is the tree under variables['params']
-    (the checkpoint format); ImageNormalizer adds no parameters, so trees
-    from models built with add_normalization export identically."""
-    if model_name.startswith("convnext"):
-        return convnext_to_torch(params)
-    if model_name.startswith(("vit", "deit")):
-        return vit_to_torch(params)
-    raise ValueError(
-        f"torch export covers the ConvNeXt/ViT families only, not {model_name!r} "
-        "(the BN family is import-only — module docstring)"
-    )
+    """Dispatch by family. `params` is the tree under variables['params'];
+    models built with add_normalization nest everything under a 'model' key
+    (NormalizedModel — the ImageNormalizer itself holds no params), which is
+    stripped here: the reference stores normalizer buffers in the state_dict
+    but its loader cascade skips them (torch_import.strip_prefixes).
+    Every flax leaf must be consumed by the mapper — a partial export would
+    publish a corrupt checkpoint."""
+    if isinstance(params, dict) and set(params.keys()) == {"model"}:
+        params = params["model"]
+    flat = _TrackedFlat(_flatten(params))
+    if model_name == "convnext_iso":
+        out = _convnext_iso_flat_to_torch(flat)
+    elif model_name.startswith("convnext"):
+        out = _convnext_flat_to_torch(flat)
+    elif model_name.startswith(("vit", "deit")):
+        out = _vit_flat_to_torch(flat)
+    else:
+        raise ValueError(
+            f"torch export covers the ConvNeXt/ViT families only, not "
+            f"{model_name!r} (the BN family is import-only — module docstring)"
+        )
+    unread = set(flat) - flat.read
+    if unread:
+        raise ValueError(
+            f"export did not consume {len(unread)} param leaves "
+            f"(e.g. {sorted(unread)[:4]}) — mapper/arch mismatch"
+        )
+    return out
 
 
 def save_torch_checkpoint(params: Any, model_name: str, path: str) -> None:

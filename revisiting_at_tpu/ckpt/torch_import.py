@@ -10,8 +10,10 @@ handling and maps timm-0.8 parameter names/layouts to ours:
   torch Conv2d  [O, I, kh, kw] -> kernel [kh, kw, I, O]  (NHWC HWIO)
   depthwise     [C, 1, 7, 7]   -> kernel [7, 7, 1, C]
 
-Covered: timm ConvNeXt (T/S/B/L) incl. the ConvStem variants, timm ViT
-(vit_s/deit_s/vit_m/vit_b) incl. ConvStem patch embeds.
+Covered: timm ConvNeXt (T/S/B/L) incl. the ConvStem variants, Meta-layout
+isotropic ConvNeXt (the reference's convnext_iso format,
+models/convnext_iso.py), timm ViT (vit_s/deit_s/vit_m/vit_b) incl.
+ConvStem patch embeds.
 """
 
 from __future__ import annotations
@@ -140,6 +142,42 @@ def convnext_from_torch(sd: Mapping[str, Any], *, not_original: bool = False,
     hf = "head.fc" if "head.fc.weight" in sd else "head"
     out["head/kernel"] = _lin(sd[f"{hf}.weight"])
     out["head/bias"] = sd[f"{hf}.bias"]
+    return out
+
+
+def convnext_iso_from_torch(sd: Mapping[str, Any], *, not_original: bool = False,
+                            embed_module: str = "ConvStem_0") -> dict[str, np.ndarray]:
+    """Isotropic ConvNeXt state_dict -> flat params for our ConvNeXtIsotropic.
+
+    The reference's iso model is Meta-layout, NOT timm (models/convnext_iso.py:
+    bare 16x16 `stem` conv, flat `blocks.{i}` with dwconv/norm/pwconv1/pwconv2
+    [+ optional gamma], final `norm`, `head`); its ConvStem variant mounts
+    ConvBlock at `stem` (utils_architecture.py:235-238 — the README.md:32
+    iso-CvSt checkpoint's format)."""
+    sd = strip_prefixes(sd)
+    out: dict[str, np.ndarray] = {}
+    if not_original:
+        _convstem_entries(sd, "stem", embed_module, out)
+    else:
+        out["stem/Conv_0/kernel"] = _conv(sd["stem.weight"])
+        out["stem/Conv_0/bias"] = sd["stem.bias"]
+    depth = max(int(k.split(".")[1]) for k in sd if k.startswith("blocks.")) + 1
+    for i in range(depth):
+        src, dst = f"blocks.{i}", f"block{i}"
+        out[f"{dst}/dwconv_kernel"] = _dwconv(sd[f"{src}.dwconv.weight"])
+        out[f"{dst}/dwconv_bias"] = sd[f"{src}.dwconv.bias"]
+        out[f"{dst}/norm_scale"] = sd[f"{src}.norm.weight"]
+        out[f"{dst}/norm_bias"] = sd[f"{src}.norm.bias"]
+        out[f"{dst}/pwconv1_kernel"] = _lin(sd[f"{src}.pwconv1.weight"])
+        out[f"{dst}/pwconv1_bias"] = sd[f"{src}.pwconv1.bias"]
+        out[f"{dst}/pwconv2_kernel"] = _lin(sd[f"{src}.pwconv2.weight"])
+        out[f"{dst}/pwconv2_bias"] = sd[f"{src}.pwconv2.bias"]
+        if f"{src}.gamma" in sd:
+            out[f"{dst}/gamma"] = sd[f"{src}.gamma"]
+    out["head_norm/LayerNorm_0/scale"] = sd["norm.weight"]
+    out["head_norm/LayerNorm_0/bias"] = sd["norm.bias"]
+    out["head/kernel"] = _lin(sd["head.weight"])
+    out["head/bias"] = sd["head.bias"]
     return out
 
 
@@ -613,11 +651,13 @@ def load_torch_checkpoint(path: str, model_name: str, target_params: Any,
             to_param_tree(flat_p, target_params),
             to_param_tree(flat_s, target_batch_stats),
         )
-    if model_name.startswith("convnext"):
+    if model_name == "convnext_iso":
+        # Meta layout (flat blocks.{i}), not timm's stages.* — own mapper
+        flat = convnext_iso_from_torch(sd, not_original=not_original)
+    elif model_name.startswith("convnext"):
         # base/large use ConvStem3 (reference :262,269); tiny/small/micro ConvStem1
         stem_mod = (
             "ConvStem3_0" if ("base" in model_name or "large" in model_name)
-            else "ConvStem_0" if model_name == "convnext_iso"
             else "ConvStem1_0"
         )
         flat = convnext_from_torch(sd, not_original=not_original, stem_module=stem_mod)

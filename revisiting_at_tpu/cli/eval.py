@@ -174,16 +174,14 @@ def main(argv=None):
             )
             batch_stats = None
     else:
-        # restore checkpoint via orbax
-        import orbax.checkpoint as ocp
+        # restore checkpoint via orbax (shared eval/export CLI path;
+        # --use_ema errors if the run kept no EMA rather than silently
+        # evaluating raw weights)
+        from ..ckpt.checkpoint import restore_run_params
 
-        ckpt_dir = "ckpt_best" if args.best else "ckpt"
-        mgr = ocp.CheckpointManager(str((run_dir / ckpt_dir).absolute()))
-        step = mgr.latest_step() if args.epoch < 0 else args.epoch
-        assert step is not None, f"no checkpoint in {run_dir}/{ckpt_dir}"
-        restored = mgr.restore(step)
-        params = restored["ema_params"] if (args.use_ema and restored.get("ema_params")) else restored["params"]
-        batch_stats = restored.get("batch_stats")
+        params, batch_stats, _ = restore_run_params(
+            run_dir, best=args.best, epoch=args.epoch, use_ema=bool(args.use_ema)
+        )
 
     if meta.family == "vit" and args.img_size != 224:
         params = resize_vit_pos_embed(params, args.img_size, meta.patch_size)

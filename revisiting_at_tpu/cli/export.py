@@ -32,25 +32,16 @@ def get_args(argv=None):
 
 def main(argv=None):
     args = get_args(argv)
-    import orbax.checkpoint as ocp
-
+    from ..ckpt.checkpoint import restore_run_params
     from ..ckpt.torch_export import save_torch_checkpoint
     from ..config import load_params_json
 
     run_dir = Path(args.run_dir)
     cfg = load_params_json(run_dir / "params.json")
 
-    ckpt_dir = "ckpt_best" if args.best else "ckpt"
-    mgr = ocp.CheckpointManager(str((run_dir / ckpt_dir).absolute()))
-    step = mgr.latest_step() if args.epoch < 0 else args.epoch
-    assert step is not None, f"no checkpoint in {run_dir}/{ckpt_dir}"
-    restored = mgr.restore(step)
-    params = (
-        restored["ema_params"]
-        if (args.use_ema and restored.get("ema_params"))
-        else restored["params"]
+    params, _, step = restore_run_params(
+        run_dir, best=args.best, epoch=args.epoch, use_ema=bool(args.use_ema)
     )
-
     save_torch_checkpoint(params, cfg.model.arch, args.out)
     which = "ema" if args.use_ema else "raw"
     print(
