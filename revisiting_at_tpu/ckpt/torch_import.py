@@ -503,6 +503,14 @@ def load_timm_pretrained(path: str, model_name: str, target_params: Any,
                 f"{model_name} — wrong file or architecture"
             )
         return params, report
+    if model_name == "convnext_iso":
+        # iso is Meta-layout, not timm, and has no pretrained path in the
+        # reference either (utils_architecture.py:235-239 commented out);
+        # full reference-format checkpoints load via load_torch_checkpoint
+        raise ValueError(
+            "convnext_iso has no timm pretrained mapping (Meta layout) — "
+            "use model.ckpt_path / --torch_ckpt for reference-format files"
+        )
     if model_name.startswith("convnext"):
         flat = convnext_from_torch_partial(sd)
     elif model_name.startswith(("vit", "deit")):
