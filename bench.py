@@ -117,6 +117,60 @@ def time_at_step(step_fn, state, images, labels, *, n_steps: int) -> float:
     return (n_steps / dt) * N_ITER / n_chips
 
 
+def _ancestor_pids() -> set:
+    """Pids of this process's ancestors (via /proc; Linux only)."""
+    import os
+
+    pids = set()
+    pid = os.getpid()
+    for _ in range(64):
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                ppid = int(f.read().split(")")[-1].split()[1])
+        except (OSError, ValueError, IndexError):
+            break
+        if ppid <= 1:
+            break
+        pids.add(ppid)
+        pid = ppid
+    return pids
+
+
+def wait_for_exclusive(max_wait_s: float = 2700.0,
+                       pattern: str = "/tmp/queue*.pid",
+                       poll_s: float = 60.0) -> None:
+    """ONE process may use the TPU at a time (CLAUDE.md): if an unattended
+    measurement queue (experiments/run_queue*.sh, pidfile /tmp/queue*.pid) is
+    mid-run, a driver-launched bench would contend and both would hang
+    silently. Wait (bounded) for live queue watchers to finish — unless a
+    queue is this process's own ancestor (the queues run bench.py as their
+    final item). Stale pidfiles are ignored via a cmdline check."""
+    import glob
+    import sys
+
+    ancestors = _ancestor_pids()
+    deadline = time.time() + max_wait_s
+    while time.time() < deadline:
+        busy = []
+        for pf in glob.glob(pattern):
+            try:
+                pid = int(open(pf).read().strip())
+                cmdline = open(f"/proc/{pid}/cmdline", "rb").read()
+            except (OSError, ValueError):
+                continue  # pidfile stale or unreadable: not a live queue
+            if pid in ancestors:
+                return  # WE are the queue's bench invocation
+            if b"run_queue" in cmdline:
+                busy.append(pid)
+        if not busy:
+            return
+        print(f"[bench] measurement queue live (pids {busy}), waiting for "
+              "exclusive TPU access", file=sys.stderr, flush=True)
+        time.sleep(min(poll_s, max(0.1, deadline - time.time())))
+    print("[bench] queue still live after bounded wait; proceeding anyway",
+          file=sys.stderr, flush=True)
+
+
 def wait_for_tpu(max_wait_s: float = 2700.0) -> bool:
     """Bounded tunnel probe. The tunnel can go down for hours, and then even
     `jax.devices()` hangs indefinitely (CLAUDE.md) — probing in a SUBPROCESS
@@ -146,6 +200,7 @@ def wait_for_tpu(max_wait_s: float = 2700.0) -> bool:
 def main() -> None:
     import sys
 
+    wait_for_exclusive()
     if not wait_for_tpu():
         print("[bench] giving up: TPU tunnel unreachable for 45 min",
               file=sys.stderr, flush=True)

@@ -1,0 +1,89 @@
+"""bench.py exclusive-TPU guard (wait_for_exclusive).
+
+ONE process may use the TPU at a time; the driver runs bench.py at round
+end, which must not contend with an unattended measurement queue
+(experiments/run_queue*.sh). These tests exercise the pidfile protocol on
+CPU only — no TPU, no jax work.
+"""
+
+import os
+import subprocess
+import sys
+import time
+
+import bench
+
+
+def test_no_pidfiles_returns_immediately(tmp_path):
+    t0 = time.perf_counter()
+    bench.wait_for_exclusive(max_wait_s=30, pattern=str(tmp_path / "queue*.pid"))
+    assert time.perf_counter() - t0 < 5
+
+
+def test_stale_pidfile_ignored(tmp_path):
+    # a pid that is certainly dead (max_pid+? use a recently-exited child)
+    child = subprocess.Popen([sys.executable, "-c", "pass"])
+    child.wait()
+    (tmp_path / "queue.pid").write_text(str(child.pid))
+    t0 = time.perf_counter()
+    bench.wait_for_exclusive(max_wait_s=30, pattern=str(tmp_path / "queue*.pid"))
+    assert time.perf_counter() - t0 < 5
+
+
+def test_live_non_queue_process_ignored(tmp_path):
+    # live pid whose cmdline does NOT contain run_queue: not a queue watcher
+    child = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(30)"])
+    try:
+        (tmp_path / "queue.pid").write_text(str(child.pid))
+        t0 = time.perf_counter()
+        bench.wait_for_exclusive(max_wait_s=30, pattern=str(tmp_path / "queue*.pid"))
+        assert time.perf_counter() - t0 < 5
+    finally:
+        child.kill()
+        child.wait()
+
+
+def test_live_queue_blocks_until_bounded_giveup(tmp_path):
+    # live pid with run_queue in its cmdline: bench must wait, then give up
+    # at the (tiny) bound rather than hang
+    fake = tmp_path / "fake_run_queue.sh"
+    fake.write_text("#!/bin/bash\nsleep 30\n")
+    child = subprocess.Popen(["bash", str(fake)])
+    try:
+        (tmp_path / "queue.pid").write_text(str(child.pid))
+        t0 = time.perf_counter()
+        bench.wait_for_exclusive(max_wait_s=1.0, pattern=str(tmp_path / "queue*.pid"))
+        elapsed = time.perf_counter() - t0
+        assert 0.9 <= elapsed < 10
+    finally:
+        child.kill()
+        child.wait()
+
+
+def test_live_queue_releases(tmp_path):
+    # queue finishes mid-wait: bench proceeds well before the bound
+    fake = tmp_path / "fake_run_queue.sh"
+    fake.write_text("#!/bin/bash\nsleep 2\n")
+    child = subprocess.Popen(["bash", str(fake)])
+    try:
+        (tmp_path / "queue.pid").write_text(str(child.pid))
+        t0 = time.perf_counter()
+        bench.wait_for_exclusive(max_wait_s=120, poll_s=0.25,
+                                 pattern=str(tmp_path / "queue*.pid"))
+        assert time.perf_counter() - t0 < 30
+    finally:
+        if child.poll() is None:
+            child.kill()
+        child.wait()
+
+
+def test_ancestor_queue_is_self(tmp_path):
+    # the queue runs bench.py itself: if the pidfile names one of our own
+    # ancestors, bench must NOT wait on it (else the queue deadlocks).
+    # pytest's parent chain stands in for the queue's bash.
+    anc = bench._ancestor_pids()
+    assert os.getppid() in anc
+    (tmp_path / "queue.pid").write_text(str(os.getppid()))
+    t0 = time.perf_counter()
+    bench.wait_for_exclusive(max_wait_s=30, pattern=str(tmp_path / "queue*.pid"))
+    assert time.perf_counter() - t0 < 5
