@@ -30,7 +30,10 @@ run() {
   echo "[queue6] exit=$? $(date -u +%T)" | tee -a "$LOG"
 }
 
-run 1500 python experiments/mini_robustness.py all vit_s
+# 3600 s: the driver spawns ~4 CLI processes, each possibly paying ~10 min
+# of first-compile on a cache miss (the 1500 s it shipped with timed out
+# on a cold cache — CLAUDE.md cold-compile sizing note).
+run 3600 python experiments/mini_robustness.py all vit_s
 run 800 python experiments/profile_step.py vit_s --no-remat
 
 echo "[queue6] done $(date -u +%T)" | tee -a "$LOG"

@@ -10,16 +10,21 @@ cd "$(dirname "$0")/.."
 LOG=${1:-experiments/artifacts/queue7.log}
 mkdir -p experiments/artifacts
 
-# wait for queue6 (and any other live queue) to finish
-while ls /tmp/queue[0-6].pid >/dev/null 2>&1; do
-  for p in /tmp/queue[0-6].pid; do
+# wait for ANY other live queue to finish (generic glob — a hard-coded
+# range like queue[0-6] cannot match later stages, e.g. queue8)
+SELF=/tmp/queue7.pid
+while :; do
+  live=0
+  for p in /tmp/queue*.pid; do
     [ -e "$p" ] || continue
-    kill -0 "$(cat "$p")" 2>/dev/null || rm -f "$p"   # stale sentinel
+    [ "$p" = "$SELF" ] && continue
+    if kill -0 "$(cat "$p")" 2>/dev/null; then live=1; else rm -f "$p"; fi
   done
+  [ "$live" = 0 ] && break
   sleep 30
 done
 
-echo $$ > /tmp/queue7.pid
+echo $$ > "$SELF"
 trap 'rm -f /tmp/queue7.pid' EXIT
 
 probe() { timeout 120 python -c "import jax; assert jax.devices()" >/dev/null 2>&1; }

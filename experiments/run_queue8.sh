@@ -9,7 +9,22 @@ set -u
 cd "$(dirname "$0")/.."
 LOG=${1:-experiments/artifacts/queue8.log}
 mkdir -p experiments/artifacts
-echo $$ > /tmp/queue8.pid
+
+# wait for ANY other live queue to finish before touching the chip
+# (ONE process may use the TPU at a time; stale pidfiles are reaped)
+SELF=/tmp/queue8.pid
+while :; do
+  live=0
+  for p in /tmp/queue*.pid; do
+    [ -e "$p" ] || continue
+    [ "$p" = "$SELF" ] && continue
+    if kill -0 "$(cat "$p")" 2>/dev/null; then live=1; else rm -f "$p"; fi
+  done
+  [ "$live" = 0 ] && break
+  sleep 30
+done
+
+echo $$ > "$SELF"
 trap 'rm -f /tmp/queue8.pid' EXIT
 
 probe() { timeout 120 python -c "import jax; assert jax.devices()" >/dev/null 2>&1; }
