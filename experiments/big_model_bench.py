@@ -80,6 +80,8 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--attn-impl", choices=["qkv", "bhnd"], default="qkv",
+                    help="ViT fused-attention kernel version (A/B)")
     ap.add_argument("--no-cache", action="store_true",
                     help="skip the persistent compile cache (fresh compile)")
     args = ap.parse_args()
@@ -103,7 +105,7 @@ def main() -> None:
     use_pallas = not args.no_pallas
     model, meta = get_model(
         c["arch"], not_original=True, dtype=jnp.bfloat16,
-        use_pallas=use_pallas, remat=use_remat,
+        use_pallas=use_pallas, remat=use_remat, attn_impl=args.attn_impl,
     )
     t0 = time.perf_counter()
     params = jax.jit(
@@ -165,6 +167,7 @@ def main() -> None:
             "mode": "at", "params_m": round(n_params / 1e6, 1),
             "batch": args.bs, "micro_batch": micro, "grad_accum": args.accum,
             "remat": use_remat, "use_pallas": use_pallas,
+            "attn_impl": args.attn_impl if c["arch"].startswith("vit") else None,
             "ms_per_micro_step": round(dt * 1e3, 1),
             "attack_steps_per_s_per_chip": round(att_per_s, 3),
             "compile_s": round(t_compile, 1),
@@ -209,6 +212,7 @@ def main() -> None:
         and r.get("grad_accum") == record.get("grad_accum")
         and r.get("use_pallas") == record.get("use_pallas")
         and r.get("remat") == record.get("remat")
+        and r.get("attn_impl") == record.get("attn_impl")
     )]
     rows.append(record)
     out_path.write_text(json.dumps(rows, indent=1))

@@ -59,6 +59,7 @@ def get_model(
     use_pallas: bool = False,
     pallas_interpret: bool = False,
     tp_attn: int = 0,  # ViT attention-head TP (parallel/tp.py; vit families only)
+    attn_impl: str = "qkv",  # ViT fused-attention kernel version (models/vit.py Attention)
 ) -> tuple[nn.Module, ModelMeta]:
     """Build a model by reference name. Returns (module, meta).
 
@@ -101,7 +102,7 @@ def get_model(
         model = VisionTransformer(
             embed_factory=embed, drop_path_rate=drop_path_rate, remat=remat,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
-            tp_attn=tp_attn, **cfg, **common
+            tp_attn=tp_attn, attn_impl=attn_impl, **cfg, **common
         )
         meta = ModelMeta(name, "vit")
 
@@ -111,7 +112,7 @@ def get_model(
         model = VisionTransformer(
             embed_factory=embed, drop_path_rate=drop_path_rate, remat=remat,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
-            tp_attn=tp_attn, **cfg, **common
+            tp_attn=tp_attn, attn_impl=attn_impl, **cfg, **common
         )
         meta = ModelMeta(name, "vit")
 
@@ -121,7 +122,7 @@ def get_model(
         model = VisionTransformer(
             embed_factory=embed, drop_path_rate=drop_path_rate, remat=remat,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
-            tp_attn=tp_attn, **cfg, **common
+            tp_attn=tp_attn, attn_impl=attn_impl, **cfg, **common
         )
         meta = ModelMeta(name, "vit")
 
@@ -141,7 +142,8 @@ def get_model(
         model = VisionTransformer(
             embed_dim=32, depth=2, num_heads=2, embed_factory=embed,
             drop_path_rate=drop_path_rate, use_pallas=use_pallas,
-            pallas_interpret=pallas_interpret, tp_attn=tp_attn, **common,
+            pallas_interpret=pallas_interpret, tp_attn=tp_attn,
+            attn_impl=attn_impl, **common,
         )
         meta = ModelMeta(name, "vit")
 

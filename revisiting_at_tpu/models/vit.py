@@ -32,6 +32,10 @@ class Attention(nn.Module):
     # in one VMEM-resident grid step per (batch, head)
     use_pallas: bool = False
     pallas_interpret: bool = False
+    # 'qkv' (default): v2 kernel consuming the qkv Dense output [B,N,3D]
+    # directly — no head transposes/pads at the boundary, single fused dqkv
+    # cotangent. 'bhnd': v1 kernel on [B*H, N, hd] blocks (kept for A/B).
+    attn_impl: str = "qkv"
     # tensor parallelism (parallel/tp.py): shard the HEADS dim of the qkv
     # activations over the "model" mesh axis. Params stay replicated — XLA
     # slices the qkv kernel columns per shard and all-reduces after `proj`
@@ -53,6 +57,23 @@ class Attention(nn.Module):
             kernel_init=trunc_normal_init,
             name="qkv",
         )(x)
+        if self.use_pallas and self.attn_impl == "qkv" and self.tp_attn <= 1:
+            # v2 path: the kernel slices heads at static lane offsets from
+            # the raw [B, N, 3D] Dense output; its backward writes one
+            # [B, N, 3D] dqkv that flows straight into the Dense VJP —
+            # no [B,H,N,hd] transposes or 197->npad pads on either side.
+            from ..ops.attention import fused_attention_qkv
+
+            out = fused_attention_qkv(
+                qkv, self.num_heads, interpret=self.pallas_interpret
+            )
+            return nn.Dense(
+                self.dim,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=trunc_normal_init,
+                name="proj",
+            )(out)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         if self.tp_attn > 1 and self.num_heads % self.tp_attn == 0:
             # batch stays on its data axes (naming them keeps the constraint
@@ -175,6 +196,7 @@ class ViTBlock(nn.Module):
     # (attack closures never differentiate w.r.t. weights — ops/block_mlp.py)
     pallas_grad_mode: str = "full"
     tp_attn: int = 0  # attention-head activation sharding (see Attention)
+    attn_impl: str = "qkv"  # see Attention.attn_impl
 
     def _ls(self, name: str, x: jax.Array) -> jax.Array:
         if self.init_values is None:
@@ -190,7 +212,7 @@ class ViTBlock(nn.Module):
         y = Attention(
             self.dim, self.num_heads, dtype=self.dtype,
             use_pallas=self.use_pallas, pallas_interpret=self.pallas_interpret,
-            tp_attn=self.tp_attn,
+            tp_attn=self.tp_attn, attn_impl=self.attn_impl,
             name="attn",
         )(y)
         y = self._ls("ls1", y)
@@ -264,6 +286,7 @@ class VisionTransformer(nn.Module):
     pallas_interpret: bool = False
     pallas_grad_mode: str = "full"  # 'input' for attack closures (input_grad_view)
     tp_attn: int = 0  # attention-head activation sharding (see Attention)
+    attn_impl: str = "qkv"  # see Attention.attn_impl
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -315,6 +338,7 @@ class VisionTransformer(nn.Module):
                 pallas_interpret=self.pallas_interpret,
                 pallas_grad_mode=self.pallas_grad_mode,
                 tp_attn=self.tp_attn,
+                attn_impl=self.attn_impl,
                 name=f"block{i}",
             )(tokens, train)
 

@@ -177,3 +177,171 @@ def fused_attention(
 
     o = _attention_bhnd(to_g(q), to_g(k), to_g(v), scale, interpret)
     return o.reshape(B, H, N, hd).transpose(0, 2, 1, 3)
+
+
+# --------------------------------------------------------------------------
+# v2: qkv-layout kernel — no transposes, no explicit pads, fused dqkv.
+#
+# The v1 wrapper costs real HBM traffic at every kernel boundary: 3 (4 in
+# the backward) [B,H,N,hd] transposes + 197->200 pads on the way in, a
+# transpose + slice on the way out, and XLA re-concatenates dq/dk/dv into
+# the [B,N,3,H,hd] cotangent of the qkv reshape (round-3 per-op table:
+# 17.7 ms/step of pure reshape/pad/transpose on ViT-S, PROFILE.md). This
+# version consumes the qkv Dense OUTPUT [B, N, 3D] directly: heads are
+# static 64-lane slices inside the kernel, the token axis is a ragged
+# Mosaic block (npad block over an N-row array: out-of-bounds reads are
+# masked before use, out-of-bounds writes are discarded by Mosaic), and
+# the backward writes ONE [B, N, 3D] dqkv buffer that flows straight into
+# the Dense VJP.
+# --------------------------------------------------------------------------
+
+
+def _row_col_masks(npad, n_valid):
+    row = jax.lax.broadcasted_iota(jnp.int32, (npad, 1), 0) < n_valid
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, npad), 1) < n_valid
+    return row, col
+
+
+def _fwd_qkv_kernel(qkv_ref, o_ref, *, scale, n_valid, num_heads):
+    gb, npad, threeD = qkv_ref.shape
+    D = threeD // 3
+    hd = D // num_heads
+    row, col = _row_col_masks(npad, n_valid)
+    for i in range(gb):
+        # zero out-of-bounds rows: ragged-edge reads are unspecified bits
+        # (possibly NaN) and 0*NaN would poison the head reductions
+        blk = jnp.where(row, qkv_ref[i], 0)
+        outs = []
+        for g in range(num_heads):
+            q = blk[:, g * hd:(g + 1) * hd]
+            k = blk[:, D + g * hd:D + (g + 1) * hd]
+            v = blk[:, 2 * D + g * hd:2 * D + (g + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            s = jnp.where(col, s, NEG_INF)
+            p = _softmax_f32(s)
+            outs.append(jnp.dot(p.astype(q.dtype), v,
+                                preferred_element_type=jnp.float32))
+        o_ref[i] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+def _bwd_qkv_kernel(qkv_ref, do_ref, dqkv_ref, *, scale, n_valid, num_heads):
+    gb, npad, threeD = qkv_ref.shape
+    D = threeD // 3
+    hd = D // num_heads
+    row, col = _row_col_masks(npad, n_valid)
+    for i in range(gb):
+        blk = jnp.where(row, qkv_ref[i], 0)
+        do_blk = jnp.where(row, do_ref[i], 0)
+        dqs, dks, dvs = [], [], []
+        for g in range(num_heads):
+            q = blk[:, g * hd:(g + 1) * hd]
+            k = blk[:, D + g * hd:D + (g + 1) * hd]
+            v = blk[:, 2 * D + g * hd:2 * D + (g + 1) * hd]
+            do = do_blk[:, g * hd:(g + 1) * hd]
+
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            s = jnp.where(col, s, NEG_INF)
+            p = _softmax_f32(s)
+            p16 = p.astype(q.dtype)
+
+            dv = jax.lax.dot_general(
+                p16, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            ds16 = (ds * scale).astype(q.dtype)
+            dq = jnp.dot(ds16, k, preferred_element_type=jnp.float32)
+            dk = jax.lax.dot_general(
+                ds16, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            dqs.append(dq)
+            dks.append(dk)
+            dvs.append(dv)
+        dqkv_ref[i] = jnp.concatenate(dqs + dks + dvs, axis=1).astype(dqkv_ref.dtype)
+
+
+def _pick_gb(B, npad, D, *, bwd=False):
+    """Images per grid step: amortize per-step overhead under ~8 MB VMEM.
+    Double-buffered blocks: fwd holds qkv+o rows, bwd qkv+do+dqkv rows;
+    the [npad, npad] f32 softmax temporaries don't scale with gb."""
+    if bwd:
+        per_img = 2 * (npad * 3 * D + npad * D + npad * 3 * D) * 2
+    else:
+        per_img = 2 * (npad * 3 * D + npad * D) * 2
+    cap = max(1, 8_000_000 // per_img)
+    t = 1
+    for cand in range(1, min(B, cap) + 1):
+        if B % cand == 0:
+            t = cand
+    return t
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _attention_qkv(qkv, num_heads, scale, interpret):
+    return _fwd_qkv_impl(qkv, num_heads, scale, interpret)
+
+
+def _fwd_qkv_impl(qkv, num_heads, scale, interpret):
+    B, N, threeD = qkv.shape
+    D = threeD // 3
+    npad = -(-N // 8) * 8
+    gb = _pick_gb(B, npad, D)
+    o = pl.pallas_call(
+        functools.partial(_fwd_qkv_kernel, scale=scale, n_valid=N,
+                          num_heads=num_heads),
+        grid=(B // gb,),
+        in_specs=[pl.BlockSpec((gb, npad, threeD), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((gb, npad, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, D), qkv.dtype),
+        interpret=interpret,
+    )(qkv)
+    return o
+
+
+def _vjp_qkv_fwd(qkv, num_heads, scale, interpret):
+    return _fwd_qkv_impl(qkv, num_heads, scale, interpret), (qkv,)
+
+
+def _vjp_qkv_bwd(num_heads, scale, interpret, res, do):
+    (qkv,) = res
+    B, N, threeD = qkv.shape
+    D = threeD // 3
+    npad = -(-N // 8) * 8
+    gb = _pick_gb(B, npad, D, bwd=True)
+    dqkv = pl.pallas_call(
+        functools.partial(_bwd_qkv_kernel, scale=scale, n_valid=N,
+                          num_heads=num_heads),
+        grid=(B // gb,),
+        in_specs=[
+            pl.BlockSpec((gb, npad, threeD), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, npad, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((gb, npad, threeD), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, threeD), qkv.dtype),
+        interpret=interpret,
+    )(qkv, do)
+    return (dqkv,)
+
+
+_attention_qkv.defvjp(_vjp_qkv_fwd, _vjp_qkv_bwd)
+
+
+def fused_attention_qkv(
+    qkv: jax.Array, num_heads: int, *, interpret: bool = False
+) -> jax.Array:
+    """qkv: [B, N, 3·D] (the qkv Dense output, head-major per group) ->
+    [B, N, D] = softmax(QKᵀ/√head_dim)V concatenated over heads."""
+    D = qkv.shape[-1] // 3
+    scale = (D // num_heads) ** -0.5
+    return _attention_qkv(qkv, num_heads, scale, interpret)
