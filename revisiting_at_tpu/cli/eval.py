@@ -221,14 +221,25 @@ def main(argv=None):
 
             mesh = make_mesh(devices=jax.local_devices())
             variables = jax.device_put(variables, replicated(mesh))
+        else:
+            # put params on device BEFORE closing over them: numpy closure
+            # constants are INLINED into the lowered module (198M f32 params
+            # = ~800 MB of request body -> the tunnel's remote-compile 413
+            # cap, and a different persistent-cache key per checkpoint);
+            # device arrays are hoisted as executable parameters instead
+            variables = jax.device_put(variables)
 
         from ..train.train_step import input_grad_view
 
         # all eval attacks differentiate w.r.t. the input only
         attack_view = input_grad_view(model)
 
-        def logits_fn(xb):
-            return attack_view.apply(variables, xb, train=False)
+        # variables flow into every attack program as a JIT ARGUMENT (not a
+        # closure): closure params inline into the lowered module as
+        # constants — ~800 MB for ConvNeXt-L, breaking the tunnel's
+        # remote-compile cap and the persistent-cache key (autoattack.py)
+        def logits_fn(v, xb):
+            return attack_view.apply(v, xb, train=False)
 
         x, y = load_eval_set(args, cfg.data.num_classes)
         if args.multihost:
@@ -257,7 +268,7 @@ def main(argv=None):
                 square_n_queries=args.square_queries,
                 batch_size=args.batch_size, mesh=mesh,
             )
-            aa = AutoAttack(logits_fn, aa_cfg, logger=logger)
+            aa = AutoAttack(logits_fn, aa_cfg, logger=logger, variables=variables)
             logger.log(f"norm={norm} eps={eps:.5f} attacks={attacks}")
             from ..evals import global_robust_accuracy
 

@@ -103,13 +103,21 @@ class AutoAttackConfig:
 class AutoAttack:
     """`AutoAttack(logits_fn, cfg).run_standard_evaluation(x, y)` -> x_adv.
 
-    logits_fn: jittable (batch NHWC [0,1]) -> logits [B, C] closure over the
-    trained params (eval mode).
+    Two calling conventions:
+      * variables=None (closure mode, tests/micro models): logits_fn is
+        (batch NHWC [0,1]) -> logits [B, C], closed over the params.
+      * variables=<pytree> (production): logits_fn is (variables, batch) ->
+        logits and `variables` is passed as a JIT ARGUMENT to every attack
+        program. Closure-captured concrete params are INLINED into the
+        lowered module as literal constants — for ConvNeXt-L that is
+        ~800 MB of StableHLO, which bursts the tunnel's remote-compile
+        request cap (HTTP 413), slows server-side compiles, and keys the
+        persistent compile cache on the checkpoint contents. Argument
+        params keep the module at graph-size (~2 MB) and cache-stable.
     """
 
-    def __init__(self, logits_fn: Callable[[Array], Array], cfg: AutoAttackConfig,
-                 logger=None):
-        self.fn = logits_fn
+    def __init__(self, logits_fn: Callable, cfg: AutoAttackConfig,
+                 logger=None, variables=None):
         self.cfg = cfg
         if logger is not None:
             self.log = logger.log
@@ -117,7 +125,14 @@ class AutoAttack:
             self.log = print
         else:
             self.log = lambda *a, **k: None
-        self._jit_logits = jax.jit(logits_fn)
+        if variables is None:
+            self._v = ()
+            vfn = lambda v, xb: logits_fn(xb)  # noqa: E731
+        else:
+            self._v = variables
+            vfn = logits_fn
+        self._vfn = vfn
+        self._jit_logits = jax.jit(vfn)
 
         if cfg.mesh is not None:
             from ..parallel.mesh import batch_shard_count, batch_sharding
@@ -133,25 +148,44 @@ class AutoAttack:
 
         n_iter = cfg.n_iter
 
-        @partial(jax.jit, static_argnames=())
-        def _apgd_ce(x, y, rng):
+        @jax.jit
+        def _apgd_ce(v, x, y, rng):
             res = apgd_attack(
-                logits_fn, x, y, norm=cfg.norm, eps=cfg.eps, n_iter=n_iter,
+                partial(vfn, v), x, y, norm=cfg.norm, eps=cfg.eps, n_iter=n_iter,
                 loss="ce", is_train=False, rng=rng, random_start=True,
             )
             return res.x_best_adv, res.acc
 
         @jax.jit
-        def _apgd_t(x, y, y_target, rng):
+        def _apgd_t(v, x, y, y_target, rng):
             res = apgd_attack(
-                logits_fn, x, y, norm=cfg.norm, eps=cfg.eps, n_iter=n_iter,
+                partial(vfn, v), x, y, norm=cfg.norm, eps=cfg.eps, n_iter=n_iter,
                 loss="dlr-targeted", y_target=y_target, is_train=False,
                 rng=rng, random_start=True,
             )
             return res.x_best_adv, res.acc
 
+        # fab/square kernels are lax.scan programs; jitting the whole call
+        # (with `v` as an argument) both hoists the params out of the module
+        # and removes the remaining eager dispatches around the scans
+        @jax.jit
+        def _fab(v, x, y, y_targets, rng):
+            return fab_attack_targeted(
+                partial(vfn, v), x, y, y_targets,
+                norm=cfg.norm, eps=cfg.eps, n_iter=n_iter, rng=rng,
+            )
+
+        @jax.jit
+        def _square(v, x, y, rng):
+            return square_attack(
+                partial(vfn, v), x, y, norm=cfg.norm, eps=cfg.eps,
+                n_queries=cfg.square_n_queries, rng=rng,
+            )
+
         self._apgd_ce = _apgd_ce
         self._apgd_t = _apgd_t
+        self._fab = _fab
+        self._square = _square
 
     # ----------------------------------------------------------- utilities
     def _dev(self, a) -> Array:
@@ -178,7 +212,7 @@ class AutoAttack:
         out = np.zeros(len(x), bool)
         for i in range(0, len(x), bs):
             xb, yb, n = self._pad(x[i : i + bs], y[i : i + bs])
-            logits = np.asarray(self._jit_logits(self._dev_x(xb)))
+            logits = np.asarray(self._jit_logits(self._v, self._dev_x(xb)))
             out[i : i + n] = logits.argmax(-1)[:n] == yb[:n]
         return out
 
@@ -202,7 +236,7 @@ class AutoAttack:
             xb = x[i : i + bs]
             n = len(xb)
             xb, _, _ = self._pad(xb, np.zeros(len(xb), np.int32))
-            logits = np.asarray(self._jit_logits(self._dev_x(xb)))[:n]
+            logits = np.asarray(self._jit_logits(self._v, self._dev_x(xb)))[:n]
             order = np.argsort(logits, axis=-1)  # ascending
             out[i : i + n] = order[:, -2 : -2 - k : -1]  # 2nd ... (k+1)-th
         return out
@@ -285,7 +319,7 @@ class AutoAttack:
             kb = jax.random.fold_in(rng, i)
 
             if attack == "apgd-ce":
-                adv, acc = self._apgd_ce(xb_j, yb_j, kb)
+                adv, acc = self._apgd_ce(self._v, xb_j, yb_j, kb)
                 adv, acc = np.asarray(adv), np.asarray(acc)
                 got = ~acc[:nb]
                 _keep(i, got, adv[:nb])
@@ -298,7 +332,7 @@ class AutoAttack:
                     if not still.any():
                         break
                     yt = self._dev(targets[:, t].astype(np.int64))
-                    adv, acc = self._apgd_t(xb_j, yb_j, yt, jax.random.fold_in(kb, t))
+                    adv, acc = self._apgd_t(self._v, xb_j, yb_j, yt, jax.random.fold_in(kb, t))
                     adv, acc = np.asarray(adv), np.asarray(acc)
                     got = (~acc[:nb]) & still
                     _keep(i, got, adv[:nb])
@@ -307,9 +341,8 @@ class AutoAttack:
 
             elif attack == "fab-t":
                 targets = self._top_target_classes(xb)
-                adv, success = fab_attack_targeted(
-                    self.fn, xb_j, yb_j, self._dev(targets.astype(np.int64)),
-                    norm=cfg.norm, eps=cfg.eps, n_iter=cfg.n_iter, rng=kb,
+                adv, success = self._fab(
+                    self._v, xb_j, yb_j, self._dev(targets.astype(np.int64)), kb
                 )
                 adv, success = np.asarray(adv), np.asarray(success)
                 got = success[:nb]
@@ -317,10 +350,7 @@ class AutoAttack:
                 flipped[i : i + nb] |= got
 
             elif attack == "square":
-                adv, acc = square_attack(
-                    self.fn, xb_j, yb_j, norm=cfg.norm, eps=cfg.eps,
-                    n_queries=cfg.square_n_queries, rng=kb,
-                )
+                adv, acc = self._square(self._v, xb_j, yb_j, kb)
                 adv, acc = np.asarray(adv), np.asarray(acc)
                 got = ~acc[:nb]
                 _keep(i, got, adv[:nb])

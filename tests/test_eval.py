@@ -51,6 +51,58 @@ class TestAutoAttackShort:
         np.testing.assert_array_equal(final, robust)
         np.testing.assert_allclose(x_adv[robust], x[robust])
 
+    def test_variables_mode_matches_closure_mode(self):
+        """variables-as-jit-argument mode (production: params NOT inlined
+        into the lowered module) is bit-identical to closure mode."""
+        rng = np.random.RandomState(0)
+        w = jnp.asarray((rng.randn(48, 7) * 0.8).astype(np.float32))
+        b = jnp.zeros((7,), jnp.float32)
+        x, y = make_data(n=24, seed=3)
+        cfg = AutoAttackConfig(
+            norm="Linf", eps=0.1, attacks_to_run=("apgd-ce", "apgd-t"),
+            n_iter=10, n_target_classes=2, batch_size=8, verbose=False,
+        )
+
+        def closure_fn(xa):
+            return xa.reshape(xa.shape[0], -1) @ w + b
+
+        def var_fn(v, xa):
+            return xa.reshape(xa.shape[0], -1) @ v["w"] + v["b"]
+
+        adv0, rob0 = AutoAttack(closure_fn, cfg, logger=None
+                                ).run_standard_evaluation(x, y)
+        adv1, rob1 = AutoAttack(var_fn, cfg, logger=None,
+                                variables={"w": w, "b": b}
+                                ).run_standard_evaluation(x, y)
+        np.testing.assert_array_equal(rob0, rob1)
+        np.testing.assert_array_equal(adv0, adv1)
+
+    def test_variables_mode_keeps_params_out_of_module(self):
+        """Closure params are inlined into the lowered module as literal
+        constants (the tunnel's remote-compile 413 failure for ConvNeXt-L);
+        argument params must keep the module at graph size."""
+        rng = np.random.RandomState(1)
+        w = jnp.asarray(rng.randn(3 * 8 * 8, 512).astype(np.float32))  # ~400 KB
+
+        def closure_fn(xa):
+            return xa.reshape(xa.shape[0], -1) @ w
+
+        def var_fn(v, xa):
+            return xa.reshape(xa.shape[0], -1) @ v
+
+        x = jax.ShapeDtypeStruct((4, 8, 8, 3), jnp.float32)
+        size_closure = len(
+            jax.jit(closure_fn).lower(x)
+            .compiler_ir(dialect="stablehlo").operation
+            .get_asm(binary=True, enable_debug_info=False)
+        )
+        size_arg = len(
+            jax.jit(var_fn).lower(w, x)
+            .compiler_ir(dialect="stablehlo").operation
+            .get_asm(binary=True, enable_debug_info=False)
+        )
+        assert size_arg < size_closure - w.size * 2, (size_arg, size_closure)
+
     def test_mesh_sharded_eval_matches_single_device(self):
         """AutoAttackConfig.mesh shards each dispatched batch over the
         8-device CPU mesh; attacks are per-sample independent, so the
