@@ -36,6 +36,10 @@ def summarize_xplane(xplane_paths: list[str], steps: int) -> list[dict]:
     from xprof.convert import raw_to_tool_data as r
 
     data, _ = r.xspace_to_tool_data(xplane_paths, "framework_op_stats", {"tqx": "out:csv;"})
+    assert data is not None, (
+        f"xprof conversion returned no data for {xplane_paths} — mixed "
+        "profiler sessions in one directory break it (use a fresh outdir)"
+    )
     s = data if isinstance(data, str) else data.decode()
     obj = json.loads(s)
     tbl = obj[0] if isinstance(obj, list) else obj
@@ -125,7 +129,12 @@ def main() -> None:
     _ = float(jnp.sum(out))  # readback: block_until_ready lies on the tunnel
     print(f"warmup+compile {time.perf_counter() - t0:.1f}s", flush=True)
 
-    outdir = args.outdir or f"/tmp/xprof_{args.config}"
+    import os
+
+    # unique per invocation: a reused directory accumulates profiler
+    # sessions and the recursive xplane glob then feeds xprof MIXED
+    # sessions, which it rejects (queue10 job-1 failure mode)
+    outdir = args.outdir or f"/tmp/xprof_{args.config}_{os.getpid()}"
     jax.profiler.start_trace(outdir)
     for _ in range(args.steps):
         out = run_once()
