@@ -82,6 +82,8 @@ def main() -> None:
     ap.add_argument("--no-pallas", action="store_true")
     ap.add_argument("--attn-impl", choices=["qkv", "bhnd"], default="qkv",
                     help="ViT fused-attention kernel version (A/B)")
+    ap.add_argument("--stem-s2d", action="store_true",
+                    help="stem stride-2 convs via space-to-depth (A/B)")
     ap.add_argument("--no-cache", action="store_true",
                     help="skip the persistent compile cache (fresh compile)")
     args = ap.parse_args()
@@ -106,6 +108,7 @@ def main() -> None:
     model, meta = get_model(
         c["arch"], not_original=True, dtype=jnp.bfloat16,
         use_pallas=use_pallas, remat=use_remat, attn_impl=args.attn_impl,
+        stem_s2d=args.stem_s2d,
     )
     t0 = time.perf_counter()
     params = jax.jit(
@@ -168,6 +171,7 @@ def main() -> None:
             "batch": args.bs, "micro_batch": micro, "grad_accum": args.accum,
             "remat": use_remat, "use_pallas": use_pallas,
             "attn_impl": args.attn_impl if c["arch"].startswith("vit") else None,
+            "stem_s2d": args.stem_s2d,
             "ms_per_micro_step": round(dt * 1e3, 1),
             "attack_steps_per_s_per_chip": round(att_per_s, 3),
             "compile_s": round(t_compile, 1),
@@ -213,6 +217,7 @@ def main() -> None:
         and r.get("use_pallas") == record.get("use_pallas")
         and r.get("remat") == record.get("remat")
         and r.get("attn_impl") == record.get("attn_impl")
+        and bool(r.get("stem_s2d")) == bool(record.get("stem_s2d"))
     )]
     rows.append(record)
     out_path.write_text(json.dumps(rows, indent=1))

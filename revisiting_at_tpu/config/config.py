@@ -111,6 +111,9 @@ class TrainingSection:
     # on v5e). Multi-chip sharding of the custom call lands with shard_map.
     use_pallas: int = 0
     remat: int = 0  # activation checkpointing (memory lever for L@320)
+    # ConvStem stride-2 convs as stride-1 space-to-depth convs
+    # (ops/stem_conv.py; same math, A/B'd per-arch in PROFILE.md)
+    stem_s2d: int = 0
 
 
 @dataclasses.dataclass

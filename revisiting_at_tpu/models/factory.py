@@ -60,6 +60,7 @@ def get_model(
     pallas_interpret: bool = False,
     tp_attn: int = 0,  # ViT attention-head TP (parallel/tp.py; vit families only)
     attn_impl: str = "qkv",  # ViT fused-attention kernel version (models/vit.py Attention)
+    stem_s2d: bool = False,  # ConvStem stride-2 convs via space-to-depth (ops/stem_conv.py)
 ) -> tuple[nn.Module, ModelMeta]:
     """Build a model by reference name. Returns (module, meta).
 
@@ -75,11 +76,11 @@ def get_model(
         stem = None
         if not_original and name != "convnext_tiny_21k":
             if size in ("tiny", "small"):
-                stem = partial(ConvStem1, siz=48)
+                stem = partial(ConvStem1, siz=48, s2d=stem_s2d)
             elif size == "base":
-                stem = partial(ConvStem3, siz=64)
+                stem = partial(ConvStem3, siz=64, s2d=stem_s2d)
             elif size == "large":
-                stem = partial(ConvStem3, siz=96)
+                stem = partial(ConvStem3, siz=96, s2d=stem_s2d)
         model = ConvNeXt(
             depths=cfg["depths"], dims=cfg["dims"], stem_factory=stem,
             drop_path_rate=drop_path_rate, remat=remat, use_pallas=use_pallas, pallas_interpret=pallas_interpret, **common,
@@ -89,7 +90,7 @@ def get_model(
     elif name == "convnext_iso":
         stem = None
         if not_original:
-            stem = partial(ConvStem, siz=48, end_siz=8, fin_dim=432 if updated else 384)
+            stem = partial(ConvStem, siz=48, end_siz=8, fin_dim=432 if updated else 384, s2d=stem_s2d)
         model = ConvNeXtIsotropic(
             dim=432 if updated else 384, depth=18, stem_factory=stem,
             drop_path_rate=drop_path_rate, remat=remat, use_pallas=use_pallas, pallas_interpret=pallas_interpret, **common,
@@ -98,7 +99,7 @@ def get_model(
 
     elif name in ("vit_s", "deit_s", "vit_s_21k"):
         cfg = dict(VIT_CFGS["s"])
-        embed = partial(ConvStem, siz=48, end_siz=8) if not_original else None
+        embed = partial(ConvStem, siz=48, end_siz=8, s2d=stem_s2d) if not_original else None
         model = VisionTransformer(
             embed_factory=embed, drop_path_rate=drop_path_rate, remat=remat,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
@@ -108,7 +109,7 @@ def get_model(
 
     elif name == "vit_m":
         cfg = dict(VIT_CFGS["m"])
-        embed = partial(ConvStem2, siz=48) if not_original else None
+        embed = partial(ConvStem2, siz=48, s2d=stem_s2d) if not_original else None
         model = VisionTransformer(
             embed_factory=embed, drop_path_rate=drop_path_rate, remat=remat,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
@@ -118,7 +119,7 @@ def get_model(
 
     elif name == "vit_b":
         cfg = dict(VIT_CFGS["b"])
-        embed = partial(ConvStem, siz=48, end_siz=16, fin_dim=None) if not_original else None
+        embed = partial(ConvStem, siz=48, end_siz=16, fin_dim=None, s2d=stem_s2d) if not_original else None
         model = VisionTransformer(
             embed_factory=embed, drop_path_rate=drop_path_rate, remat=remat,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
@@ -129,7 +130,7 @@ def get_model(
     elif name == "convnext_micro":
         # framework-native smoke-test model (not in the reference zoo):
         # same topology as convnext_tiny at 1/6 width, 4 blocks
-        stem = partial(ConvStem1, siz=8) if not_original else None
+        stem = partial(ConvStem1, siz=8, s2d=stem_s2d) if not_original else None
         model = ConvNeXt(
             depths=(1, 1, 1, 1), dims=(16, 32, 64, 128), stem_factory=stem,
             drop_path_rate=drop_path_rate, remat=remat, use_pallas=use_pallas, pallas_interpret=pallas_interpret, **common,
@@ -138,7 +139,7 @@ def get_model(
 
     elif name == "vit_micro":
         # framework-native smoke-test model (not in the reference zoo)
-        embed = partial(ConvStem, siz=4, end_siz=8) if not_original else None
+        embed = partial(ConvStem, siz=4, end_siz=8, s2d=stem_s2d) if not_original else None
         model = VisionTransformer(
             embed_dim=32, depth=2, num_heads=2, embed_factory=embed,
             drop_path_rate=drop_path_rate, use_pallas=use_pallas,

@@ -126,6 +126,7 @@ class _RawConv(nn.Module):
     use_bias: bool
     dtype: Dtype
     kernel_init: Callable
+    s2d: bool = False  # stride-2 3x3 via space-to-depth (ops/stem_conv.py)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -148,6 +149,23 @@ class _RawConv(nn.Module):
         # end-to-end on v5e than XLA's conv lowering (143 -> 153 ms/step; the
         # reshape/transpose copies and strided-slice gradients outweigh the
         # matmul gain). Kept there with tests as documented dead ends.
+        # ops/stem_conv.py is a THIRD formulation (stride-1 2x2 conv on the
+        # 2x2-phase-packed image): same math, all directions stride-1.
+        pad_11 = not isinstance(self.padding, str) and tuple(
+            map(tuple, self.padding)
+        ) == ((1, 1), (1, 1))
+        if (
+            self.s2d
+            and (kh, kw) == (3, 3)
+            and tuple(self.strides) == (2, 2)
+            and pad_11
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        ):
+            from ..ops.stem_conv import conv3x3s2_s2d
+
+            y = conv3x3s2_s2d(x, k)
+            return y + b if b is not None else y
         y = jax.lax.conv_general_dilated(
             x, k, self.strides, self.padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -168,6 +186,7 @@ class Conv(nn.Module):
     dtype: Dtype = jnp.float32
     use_blurpool: bool = False
     kernel_init: Callable = trunc_normal_init
+    s2d: bool = False  # see _RawConv.s2d
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -181,6 +200,7 @@ class Conv(nn.Module):
             use_bias=self.use_bias,
             dtype=self.dtype,
             kernel_init=self.kernel_init,
+            s2d=self.s2d,
             name="Conv_0",
         )(x)
 

@@ -70,7 +70,7 @@ class PatchEmbed(nn.Module):
         )(x)
 
 
-def _conv_ln_gelu(x, features, stride, dtype, use_blurpool, idx):
+def _conv_ln_gelu(x, features, stride, dtype, use_blurpool, idx, s2d=False):
     x = Conv(
         features,
         (3, 3),
@@ -78,6 +78,7 @@ def _conv_ln_gelu(x, features, stride, dtype, use_blurpool, idx):
         padding=[(1, 1), (1, 1)],
         dtype=dtype,
         use_blurpool=use_blurpool,
+        s2d=s2d,
         kernel_init=nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
         name=f"conv{idx}",
     )(x)
@@ -98,13 +99,15 @@ class ConvStem(nn.Module):
     fin_dim: int | None = 384
     dtype: jnp.dtype = jnp.float32
     use_blurpool: bool = False
+    s2d: bool = False  # stride-2 convs via space-to-depth (ops/stem_conv.py)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         p = self.siz
         fin = 432 if self.fin_dim == 432 else p * self.end_siz
         for i, feats in enumerate([p, p * 2, p * 4, p * 8]):
-            x = _conv_ln_gelu(x, feats, 2, self.dtype, self.use_blurpool, i)
+            x = _conv_ln_gelu(x, feats, 2, self.dtype, self.use_blurpool, i,
+                              s2d=self.s2d)
         return Conv(
             fin, (1, 1), strides=(1, 1), padding="VALID", dtype=self.dtype, name="proj"
         )(x)
@@ -116,12 +119,14 @@ class ConvStem2(nn.Module):
     siz: int = 48
     dtype: jnp.dtype = jnp.float32
     use_blurpool: bool = False
+    s2d: bool = False  # see ConvStem.s2d
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         p = self.siz
         for i, feats in enumerate([p, p * 2, p * 4, p * 8]):
-            x = _conv_ln_gelu(x, feats, 2, self.dtype, self.use_blurpool, i)
+            x = _conv_ln_gelu(x, feats, 2, self.dtype, self.use_blurpool, i,
+                              s2d=self.s2d)
         return Conv(
             512, (1, 1), strides=(1, 1), padding="VALID", dtype=self.dtype, name="proj"
         )(x)
@@ -133,12 +138,14 @@ class ConvStem3(nn.Module):
     siz: int = 64
     dtype: jnp.dtype = jnp.float32
     use_blurpool: bool = False
+    s2d: bool = False  # see ConvStem.s2d
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         p = self.siz
-        x = _conv_ln_gelu(x, p, 2, self.dtype, self.use_blurpool, 0)
-        x = _conv_ln_gelu(x, int(p * 1.5), 2, self.dtype, self.use_blurpool, 1)
+        x = _conv_ln_gelu(x, p, 2, self.dtype, self.use_blurpool, 0, s2d=self.s2d)
+        x = _conv_ln_gelu(x, int(p * 1.5), 2, self.dtype, self.use_blurpool, 1,
+                          s2d=self.s2d)
         x = _conv_ln_gelu(x, p * 2, 1, self.dtype, self.use_blurpool, 2)
         return x
 
@@ -149,10 +156,12 @@ class ConvStem1(nn.Module):
     siz: int = 48
     dtype: jnp.dtype = jnp.float32
     use_blurpool: bool = False
+    s2d: bool = False  # see ConvStem.s2d
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         p = self.siz
-        x = _conv_ln_gelu(x, p, 2, self.dtype, self.use_blurpool, 0)
-        x = _conv_ln_gelu(x, p * 2, 2, self.dtype, self.use_blurpool, 1)
+        x = _conv_ln_gelu(x, p, 2, self.dtype, self.use_blurpool, 0, s2d=self.s2d)
+        x = _conv_ln_gelu(x, p * 2, 2, self.dtype, self.use_blurpool, 1,
+                          s2d=self.s2d)
         return x

@@ -100,6 +100,7 @@ class Trainer:
             add_normalization=bool(cfg.model.add_normalization),
             use_pallas=bool(t.use_pallas),
             remat=bool(t.remat),
+            stem_s2d=bool(t.stem_s2d),
             tp_attn=tp if tp > 1 else 0,  # ViT families only (factory)
         )
 
