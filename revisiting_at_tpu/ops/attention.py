@@ -29,6 +29,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# the unrolled-head backward's live temporaries exceed Mosaic's default
+# 16 MB scoped-VMEM stack at long sequences (npad=408: 16.3 MB even after
+# the cast-on-append restructure below) — raise the cap as block_mlp.py
+# does for ConvNeXt-L; v5e has 128 MB physical VMEM
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
+
 
 def _softmax_f32(s):
     m = jnp.max(s, axis=-1, keepdims=True)
@@ -136,6 +142,7 @@ def _fwd_impl(q, k, v, scale, interpret):
         out_specs=sp,
         out_shape=jax.ShapeDtypeStruct((G, npad, hd), q.dtype),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(qp, kp, vp)
     return o[:, :N, :]
 
@@ -158,6 +165,7 @@ def _vjp_bwd(scale, interpret, res, do):
         out_specs=(sp, sp, sp),
         out_shape=tuple(jax.ShapeDtypeStruct((G, npad, hd), q.dtype) for _ in range(3)),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(qp, kp, vp, dop)
     return dq[:, :N, :], dk[:, :N, :], dv[:, :N, :]
 
@@ -222,8 +230,9 @@ def _fwd_qkv_kernel(qkv_ref, o_ref, *, scale, n_valid, num_heads):
             s = jnp.where(col, s, NEG_INF)
             p = _softmax_f32(s)
             outs.append(jnp.dot(p.astype(q.dtype), v,
-                                preferred_element_type=jnp.float32))
-        o_ref[i] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+                                preferred_element_type=jnp.float32
+                                ).astype(o_ref.dtype))
+        o_ref[i] = jnp.concatenate(outs, axis=1)
 
 
 def _bwd_qkv_kernel(qkv_ref, do_ref, dqkv_ref, *, scale, n_valid, num_heads):
@@ -260,10 +269,16 @@ def _bwd_qkv_kernel(qkv_ref, do_ref, dqkv_ref, *, scale, n_valid, num_heads):
             dk = jax.lax.dot_general(
                 ds16, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )
-            dqs.append(dq)
-            dks.append(dk)
-            dvs.append(dv)
-        dqkv_ref[i] = jnp.concatenate(dqs + dks + dvs, axis=1).astype(dqkv_ref.dtype)
+            # cast on append: keeping 3*num_heads f32 [npad, hd] cotangents
+            # live through one [npad, 3D] f32 concat blew the 16 MB scoped-
+            # VMEM stack at npad=408 (ViT-B @320, queue10); bf16 lists +
+            # three lane-aligned per-third stores peak ~8 MB instead
+            dqs.append(dq.astype(dqkv_ref.dtype))
+            dks.append(dk.astype(dqkv_ref.dtype))
+            dvs.append(dv.astype(dqkv_ref.dtype))
+        dqkv_ref[i, :, 0:D] = jnp.concatenate(dqs, axis=1)
+        dqkv_ref[i, :, D:2 * D] = jnp.concatenate(dks, axis=1)
+        dqkv_ref[i, :, 2 * D:3 * D] = jnp.concatenate(dvs, axis=1)
 
 
 def _pick_gb(B, npad, D, *, bwd=False):
@@ -302,6 +317,7 @@ def _fwd_qkv_impl(qkv, num_heads, scale, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, D), qkv.dtype),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(qkv)
     return o
 
@@ -330,6 +346,7 @@ def _vjp_qkv_bwd(num_heads, scale, interpret, res, do):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, threeD), qkv.dtype),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(qkv, do)
     return (dqkv,)
 
