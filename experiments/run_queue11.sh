@@ -1,13 +1,14 @@
 #!/bin/bash
-# Eleventh-stage queue (round 4): re-run what queue10 could not finish —
-#  1. the ViT-B@320 at-shape proof (now that the qkv attention backward no
-#     longer bursts the 16 MB scoped-VMEM stack at npad=408, ops/attention.py)
-#  2. a vmem pre-check of exactly that kernel at shape (fails fast if not)
-#  3. the ConvNeXt-L@320 at-shape proof (queue10 died to a TPU worker crash
-#     mid-FAB-T; re-run to see if it reproduces — if it does, the no-pallas
-#     control in job 5 isolates whether a Pallas kernel faults at shape)
-#  4. the t224 per-op refresh (queue10 job-1 hit the mixed-session xplane
-#     bug, fixed in profile_step.py) and a vit_s refresh on the qkv kernel.
+# Eleventh-stage queue (round 4): re-runs of the three queue10 failures,
+# all now unblocked by committed fixes, plus a ViT-B/M row refresh so the
+# big-model table reflects the new default qkv attention kernel:
+#   1. profile_step t224 --no-remat  (queue10 fail: mixed xprof sessions;
+#      fixed by the unique-trace-dir change, a2eb765)
+#   2. big_model_bench vit_b / vit_m --no-remat (rows predate attn v2)
+#   3. aa_at_shape convnext_large@320 (queue10 fail: TPU worker crash in
+#      FAB-T — retry; APGD-CE/T had already passed at shape)
+#   4. aa_at_shape vit_b@320 (queue10 fail: qkv-bwd scoped-VMEM overflow
+#      at 401 tokens; fixed by 8348c3f)
 #
 #   nohup bash experiments/run_queue11.sh [logfile] &
 set -u
@@ -44,21 +45,15 @@ run() {
   echo "[queue11] exit=$? $(date -u +%T)" | tee -a "$LOG"
 }
 
-# 1. fail-fast vmem check of the fixed qkv attention bwd at the ViT-B@320 shape
-run 1800 python experiments/attn_vmem_check.py
+# 1. per-op refresh of the headline bench config (fresh trace dir each run)
+run 1500 python experiments/profile_step.py t224 --no-remat
 
-# 2. ViT-B@320 at-shape full-AA proof (cold-compile-sized timeout, CLAUDE.md)
-run 10800 python experiments/aa_at_shape.py --arch vit_b --img_size 320
+# 2. ViT-B/M AT rows with the now-default qkv attention kernel
+run 3600 python experiments/big_model_bench.py vit_b --no-remat
+run 2400 python experiments/big_model_bench.py vit_m --no-remat
 
-# 3. ConvNeXt-L@320 re-run (queue10: TPU worker crash mid-FAB-T)
+# 3-4. at-shape full-AA proofs (cold-compile-sized timeouts, CLAUDE.md)
 run 10800 python experiments/aa_at_shape.py --arch convnext_large --img_size 320
-
-# 4. per-op refreshes (bench config = no remat; vit_s now on the qkv kernel)
-run 2400 python experiments/profile_step.py t224 --no-remat
-run 2400 python experiments/profile_step.py vit_s --no-remat
-
-# 5. bench.py end-to-end: exercises the compact-contract-line output fix
-#    (BENCH_r03 "parsed": null) and refreshes the headline number
-run 3600 python bench.py
+run 9000 python experiments/aa_at_shape.py --arch vit_b --img_size 320
 
 echo "[queue11] done $(date -u +%T)" | tee -a "$LOG"
