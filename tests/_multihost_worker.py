@@ -27,9 +27,11 @@ jax.distributed.initialize(
     process_id=proc_id,
 )
 
-# share the repo compile cache (this host has one core; compiles are slow)
-cache = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache))
+# share the repo compile cache (this host has one core; compiles are slow);
+# host-keyed dir, see tests/_cache_tag.py
+from _cache_tag import host_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", host_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np  # noqa: E402

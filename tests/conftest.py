@@ -32,9 +32,11 @@ jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # cache compiles across test runs (this host has a single CPU core; convnext
-# train-step compiles take minutes cold)
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+# train-step compiles take minutes cold). Keyed by host-CPU fingerprint —
+# see tests/_cache_tag.py for why (cross-host AOT replay aborts the suite).
+from _cache_tag import host_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", host_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import pytest  # noqa: E402
