@@ -51,6 +51,8 @@ def get_args(argv=None):
                    help="fused block-tail kernel for ConvNeXt eval (TPU only)")
     p.add_argument("--stem_s2d", type=int, default=0,
                    help="stem stride-2 convs via space-to-depth (ops/stem_conv.py)")
+    p.add_argument("--wide_tail", type=int, default=0,
+                   help="fused-tail full backward past C=512 (ops/block_mlp.py)")
     p.add_argument("--shard_eval", type=int, default=0,
                    help="shard each eval batch over ALL local devices (data-"
                         "parallel single-eval multi-chip; params replicated)")
@@ -147,6 +149,7 @@ def main(argv=None):
         add_normalization=bool(cfg.model.add_normalization),
         use_pallas=bool(args.use_pallas),
         stem_s2d=bool(args.stem_s2d),
+        wide_tail=bool(args.wide_tail),
         tp_attn=args.tp if args.tp and args.tp > 1 else 0,
     )
 

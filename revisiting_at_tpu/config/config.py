@@ -114,6 +114,9 @@ class TrainingSection:
     # ConvStem stride-2 convs as stride-1 space-to-depth convs
     # (ops/stem_conv.py; same math, A/B'd per-arch in PROFILE.md)
     stem_s2d: int = 0
+    # fused block-tail FULL backward past C=512 against the 64 MB scoped
+    # VMEM cap (ops/block_mlp.py::tail_fusable; A/B'd in PROFILE.md)
+    wide_tail: int = 0
 
 
 @dataclasses.dataclass

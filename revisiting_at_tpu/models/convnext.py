@@ -36,7 +36,8 @@ class ConvNeXtBlock(nn.Module):
     paths sharing one param tree: plain jnp ops, or the fused Pallas kernel
     (ops/block_mlp.py) that keeps the 4C-wide intermediates in VMEM —
     enabled via `use_pallas` where the resident weights/accumulators fit
-    (ops/block_mlp.py::tail_fusable: any C <= 384; C <= 512 full backward;
+    (ops/block_mlp.py::tail_fusable: any C <= 384; C <= 512 full backward,
+    or C <= 1024 with `wide_tail` against the 64 MB scoped cap;
     C <= 1024 for the input-only attack-closure backward).
     """
 
@@ -54,6 +55,9 @@ class ConvNeXtBlock(nn.Module):
     # v5e (242 vs 143 ms/step — 49 sublane-unaligned shifted reads); kept as
     # groundwork, off by default
     use_pallas_dwconv: bool = False
+    # admit the fused tail's FULL backward past C=512 (B stage 3 C=1024,
+    # L stage 2 C=768) against the 64 MB scoped cap (ops/block_mlp.py)
+    wide_tail: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -102,7 +106,8 @@ class ConvNeXtBlock(nn.Module):
 
         from ..ops.block_mlp import tail_fusable
 
-        if self.use_pallas and tail_fusable(C, self.pallas_grad_mode):
+        if self.use_pallas and tail_fusable(C, self.pallas_grad_mode,
+                                            wide=self.wide_tail):
             from ..ops.block_mlp import convnext_block_tail
 
             return convnext_block_tail(
@@ -152,6 +157,7 @@ class ConvNeXt(nn.Module):
     pallas_interpret: bool = False
     pallas_grad_mode: str = "full"
     use_pallas_dwconv: bool = False
+    wide_tail: bool = False  # see ConvNeXtBlock.wide_tail
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -223,6 +229,7 @@ class ConvNeXtIsotropic(nn.Module):
     use_pallas: bool = False
     pallas_interpret: bool = False
     pallas_grad_mode: str = "full"
+    wide_tail: bool = False  # no effect at iso widths (<= 432); kept for API uniformity
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -250,6 +257,7 @@ class ConvNeXtIsotropic(nn.Module):
                 use_pallas=self.use_pallas,
                 pallas_interpret=self.pallas_interpret,
                 pallas_grad_mode=self.pallas_grad_mode,
+                wide_tail=self.wide_tail,
                 name=f"block{bi}",
             )(x, train)
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))

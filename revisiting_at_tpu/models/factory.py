@@ -61,6 +61,7 @@ def get_model(
     tp_attn: int = 0,  # ViT attention-head TP (parallel/tp.py; vit families only)
     attn_impl: str = "qkv",  # ViT fused-attention kernel version (models/vit.py Attention)
     stem_s2d: bool = False,  # ConvStem stride-2 convs via space-to-depth (ops/stem_conv.py)
+    wide_tail: bool = False,  # fused-tail FULL backward past C=512 (ops/block_mlp.py::tail_fusable)
 ) -> tuple[nn.Module, ModelMeta]:
     """Build a model by reference name. Returns (module, meta).
 
@@ -83,7 +84,7 @@ def get_model(
                 stem = partial(ConvStem3, siz=96, s2d=stem_s2d)
         model = ConvNeXt(
             depths=cfg["depths"], dims=cfg["dims"], stem_factory=stem,
-            drop_path_rate=drop_path_rate, remat=remat, use_pallas=use_pallas, pallas_interpret=pallas_interpret, **common,
+            drop_path_rate=drop_path_rate, remat=remat, use_pallas=use_pallas, pallas_interpret=pallas_interpret, wide_tail=wide_tail, **common,
         )
         meta = ModelMeta(name, "convnext")
 
@@ -93,7 +94,7 @@ def get_model(
             stem = partial(ConvStem, siz=48, end_siz=8, fin_dim=432 if updated else 384, s2d=stem_s2d)
         model = ConvNeXtIsotropic(
             dim=432 if updated else 384, depth=18, stem_factory=stem,
-            drop_path_rate=drop_path_rate, remat=remat, use_pallas=use_pallas, pallas_interpret=pallas_interpret, **common,
+            drop_path_rate=drop_path_rate, remat=remat, use_pallas=use_pallas, pallas_interpret=pallas_interpret, wide_tail=wide_tail, **common,
         )
         meta = ModelMeta(name, "convnext")
 
@@ -103,7 +104,7 @@ def get_model(
         model = VisionTransformer(
             embed_factory=embed, drop_path_rate=drop_path_rate, remat=remat,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
-            tp_attn=tp_attn, attn_impl=attn_impl, **cfg, **common
+            tp_attn=tp_attn, attn_impl=attn_impl, wide_tail=wide_tail, **cfg, **common
         )
         meta = ModelMeta(name, "vit")
 
@@ -113,7 +114,7 @@ def get_model(
         model = VisionTransformer(
             embed_factory=embed, drop_path_rate=drop_path_rate, remat=remat,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
-            tp_attn=tp_attn, attn_impl=attn_impl, **cfg, **common
+            tp_attn=tp_attn, attn_impl=attn_impl, wide_tail=wide_tail, **cfg, **common
         )
         meta = ModelMeta(name, "vit")
 
@@ -123,7 +124,7 @@ def get_model(
         model = VisionTransformer(
             embed_factory=embed, drop_path_rate=drop_path_rate, remat=remat,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
-            tp_attn=tp_attn, attn_impl=attn_impl, **cfg, **common
+            tp_attn=tp_attn, attn_impl=attn_impl, wide_tail=wide_tail, **cfg, **common
         )
         meta = ModelMeta(name, "vit")
 
@@ -133,7 +134,7 @@ def get_model(
         stem = partial(ConvStem1, siz=8, s2d=stem_s2d) if not_original else None
         model = ConvNeXt(
             depths=(1, 1, 1, 1), dims=(16, 32, 64, 128), stem_factory=stem,
-            drop_path_rate=drop_path_rate, remat=remat, use_pallas=use_pallas, pallas_interpret=pallas_interpret, **common,
+            drop_path_rate=drop_path_rate, remat=remat, use_pallas=use_pallas, pallas_interpret=pallas_interpret, wide_tail=wide_tail, **common,
         )
         meta = ModelMeta(name, "convnext")
 

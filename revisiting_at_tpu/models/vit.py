@@ -197,6 +197,9 @@ class ViTBlock(nn.Module):
     pallas_grad_mode: str = "full"
     tp_attn: int = 0  # attention-head activation sharding (see Attention)
     attn_impl: str = "qkv"  # see Attention.attn_impl
+    # admit the fused MLP tail's FULL backward past C=512 (ViT-B C=768)
+    # against the 64 MB scoped-VMEM cap (ops/block_mlp.py::tail_fusable)
+    wide_tail: bool = False
 
     def _ls(self, name: str, x: jax.Array) -> jax.Array:
         if self.init_values is None:
@@ -221,7 +224,8 @@ class ViTBlock(nn.Module):
         hidden = int(self.dim * self.mlp_ratio)
         from ..ops.block_mlp import tail_fusable
 
-        if self.use_pallas and tail_fusable(self.dim, self.pallas_grad_mode):
+        if self.use_pallas and tail_fusable(self.dim, self.pallas_grad_mode,
+                                            wide=self.wide_tail):
             # fused norm2 -> fc1 -> GELU -> fc2 -> ls2 -> droppath -> residual
             # in one VMEM-resident Pallas kernel (same kernel as the ConvNeXt
             # block tail; s == r == x here). Param tree identical to the jnp
@@ -287,6 +291,7 @@ class VisionTransformer(nn.Module):
     pallas_grad_mode: str = "full"  # 'input' for attack closures (input_grad_view)
     tp_attn: int = 0  # attention-head activation sharding (see Attention)
     attn_impl: str = "qkv"  # see Attention.attn_impl
+    wide_tail: bool = False  # see ViTBlock.wide_tail
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -339,6 +344,7 @@ class VisionTransformer(nn.Module):
                 pallas_grad_mode=self.pallas_grad_mode,
                 tp_attn=self.tp_attn,
                 attn_impl=self.attn_impl,
+                wide_tail=self.wide_tail,
                 name=f"block{i}",
             )(tokens, train)
 

@@ -37,6 +37,19 @@ from jax.experimental.pallas import tpu as pltpu
 # of shrinking the perf-tuned tiles.
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
 
+# wide heavy tails (wide_tail models, C > 512 full backward): the fixed
+# kernel-resident state alone is 12*C*H bytes (28.3 MB @ C=768/H=3072,
+# 50.3 MB @ C=1024/H=4096), past the 32 MB cap — raise to 64 MB for those
+# calls only (v5e: 128 MB physical VMEM; the cap trades against Mosaic's
+# DMA double-buffering headroom, so keep 32 MB everywhere else).
+_COMPILER_PARAMS_WIDE = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+_WIDE_FIXED_THRESHOLD = 26_000_000  # heavy fixed state above this -> wide
+
+
+def _heavy_compiler_params(C: int, H: int) -> pltpu.CompilerParams:
+    return (_COMPILER_PARAMS_WIDE if 12 * C * H > _WIDE_FIXED_THRESHOLD
+            else _COMPILER_PARAMS)
+
 SQRT_2 = math.sqrt(2.0)
 INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
 
@@ -286,7 +299,7 @@ def _vjp_bwd(m_tile, interpret, grad_mode, m_tile_bwd, res, dy):
                   sp["vecH"], sp["w2"], sp["s"]],
         out_specs=out_specs,
         out_shape=out_shapes,
-        compiler_params=_COMPILER_PARAMS,
+        compiler_params=_heavy_compiler_params(C, H),
         interpret=interpret,
     )(s, keep.reshape(B, 1), ln_g.reshape(1, C), ln_b.reshape(1, C), w1,
       b1.reshape(1, H), w2g16, dy)
@@ -318,7 +331,7 @@ def tile_budget(C: int) -> int:
     return 14_000_000 if C <= 384 else 26_000_000
 
 
-def tail_fusable(C: int, grad_mode: str) -> bool:
+def tail_fusable(C: int, grad_mode: str, wide: bool = False) -> bool:
     """Channel-width gate for the fused block tail.
 
     The kernel is monolithic per grid step: the bf16 W1/W2 (4*C*4C bytes)
@@ -330,12 +343,18 @@ def tail_fusable(C: int, grad_mode: str) -> bool:
       - input-only backward (attack closures) through C=1024 (fixed
         4*C*4C = 16.8 MB @1024; 37.7 MB @1536 busts even the cap) —
         ViT-B blocks and ConvNeXt-B/L upper stages inside APGD closures.
+
+    wide=True (the `wide_tail` model knob) additionally admits the heavy
+    backward through C=1024 against a 64 MB scoped cap
+    (_COMPILER_PARAMS_WIDE): fixed state 28.3 MB @768 (ViT-B,
+    ConvNeXt-L stage 2) / 50.3 MB @1024 (ConvNeXt-B stage 3). C=1536
+    (ConvNeXt-L stage 3) is impossible at any cap: 113 MB fixed.
     """
     if C <= 384:
         return True
     if grad_mode == "input":
         return C <= 1024
-    return C <= 512
+    return C <= (1024 if wide else 512)
 
 
 def pick_m_tile(M: int, C: int, H: int, heavy: bool = True) -> int:
@@ -348,6 +367,10 @@ def pick_m_tile(M: int, C: int, H: int, heavy: bool = True) -> int:
     fixed = 2 * C * H * 2 + (2 * C * H * 4 if heavy else 0)
     per_row = 16 * H + 16 * C
     budget = tile_budget(C)
+    if heavy and 12 * C * H > _WIDE_FIXED_THRESHOLD:
+        # wide heavy tail (only reachable via tail_fusable(wide=True)):
+        # budget against the 64 MB scoped cap instead of the 32 MB one
+        budget = 56_000_000
     cap = max(16, (budget - fixed) // per_row)
     # Mosaic requires the sublane (2nd-minor) block dim to be a multiple of 8
     # or equal to the array dim; search multiples of 8 dividing M, largest

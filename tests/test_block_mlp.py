@@ -152,6 +152,26 @@ class TestWideChannelGate:
         assert tail_fusable(768, "input")  # ViT-B attack closure fuses
         assert tail_fusable(1024, "input")  # ConvNeXt-B stage 3 closure
         assert not tail_fusable(1536, "input")  # ConvNeXt-L stage 3: never
+        # wide_tail knob: heavy backward admitted through C=1024 against
+        # the 64 MB scoped cap; C=1536 impossible at any cap (113 MB fixed)
+        assert tail_fusable(768, "full", wide=True)  # ViT-B / L stage 2
+        assert tail_fusable(1024, "full", wide=True)  # ConvNeXt-B stage 3
+        assert not tail_fusable(1536, "full", wide=True)
+        assert not tail_fusable(1536, "input", wide=True)
+
+    def test_wide_tail_heavy_parity_c768(self):
+        # the wide_tail path: full backward at C=768 (ViT-B width) — same
+        # kernel, wide 56 MB tile budget (pick_m_tile) + 64 MB scoped cap
+        args = make_inputs(B=1, M=16, C=768, seed=9)
+        m_tile = pick_m_tile(16, 768, 3072)
+        gk = jax.grad(lambda *a: jnp.sum(block_mlp(*a, m_tile, True) ** 2),
+                      argnums=(0, 5, 7))(*args)
+        gr = jax.grad(lambda *a: jnp.sum(ref_impl(*a) ** 2),
+                      argnums=(0, 5, 7))(*args)
+        for n, a, b in zip(("ds", "dw1", "dw2"), gk, gr):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            denom = np.abs(b).max() + 1e-6
+            assert np.abs(a - b).max() / denom < 3e-2, (n, np.abs(a - b).max(), denom)
 
     def test_wide_heavy_parity_c512(self):
         args = make_inputs(B=1, M=16, C=512, seed=7)
@@ -239,6 +259,56 @@ class TestVitMlpTail:
         )(v["params"])
         flat = jax.tree_util.tree_leaves(g)
         assert all(bool(jnp.all(jnp.isfinite(l))) for l in flat)
+
+
+class TestWideTailModel:
+    """wide_tail model knob: the fused FULL backward past C=512 must match
+    the jnp path it replaces (ViT-B block width 768, ConvNeXt-B stage-3
+    width 1024), with identical param trees."""
+
+    def test_vit_block_wide_tail_c768(self):
+        from revisiting_at_tpu.models.vit import ViTBlock
+
+        kw = dict(dim=768, num_heads=12, dtype=jnp.float32,
+                  use_pallas=True, pallas_interpret=True)
+        m_xla = ViTBlock(**kw, wide_tail=False)  # gate blocks C=768 full -> jnp tail
+        m_wide = ViTBlock(**kw, wide_tail=True)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 768)) * 0.5
+        v = m_xla.init(jax.random.PRNGKey(1), x, False)
+        assert jax.tree_util.tree_structure(
+            m_wide.init(jax.random.PRNGKey(1), x, False)
+        ) == jax.tree_util.tree_structure(v)
+        a = m_xla.apply(v, x, False)
+        b = m_wide.apply(v, x, False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-2)
+        ga = jax.grad(lambda p: jnp.sum(m_xla.apply({"params": p}, x, False) ** 2))(
+            v["params"])
+        gb = jax.grad(lambda p: jnp.sum(m_wide.apply({"params": p}, x, False) ** 2))(
+            v["params"])
+        for (ka, la), (kb, lb) in zip(
+            jax.tree_util.tree_flatten_with_path(ga)[0],
+            jax.tree_util.tree_flatten_with_path(gb)[0],
+        ):
+            la, lb = np.asarray(la, np.float64), np.asarray(lb, np.float64)
+            denom = np.abs(la).max() + 1e-5
+            assert np.abs(la - lb).max() / denom < 3e-2, jax.tree_util.keystr(ka)
+
+    def test_convnext_block_wide_tail_c1024(self):
+        from revisiting_at_tpu.models.convnext import ConvNeXtBlock
+
+        kw = dict(dim=1024, dtype=jnp.float32, use_pallas=True,
+                  pallas_interpret=True)
+        m_xla = ConvNeXtBlock(**kw, wide_tail=False)
+        m_wide = ConvNeXtBlock(**kw, wide_tail=True)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 1024)) * 0.5
+        v = m_xla.init(jax.random.PRNGKey(1), x, False)
+        a = m_xla.apply(v, x, False)
+        b = m_wide.apply(v, x, False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-2)
+        gxa = jax.grad(lambda xx: jnp.sum(m_xla.apply(v, xx, False) ** 2))(x)
+        gxb = jax.grad(lambda xx: jnp.sum(m_wide.apply(v, xx, False) ** 2))(x)
+        da, db = np.asarray(gxa, np.float64), np.asarray(gxb, np.float64)
+        assert np.abs(da - db).max() / (np.abs(da).max() + 1e-5) < 3e-2
 
 
 if __name__ == "__main__":
