@@ -14,6 +14,25 @@ import time
 import bench
 
 
+def _wait_for_cmdline(pid, needle: bytes, timeout_s: float = 10.0):
+    """Block until /proc/<pid>/cmdline contains `needle`.
+
+    Real queue watchers write their pidfile from INSIDE the script (after
+    exec), so bench never sees a pre-exec cmdline. These tests write the
+    pidfile from the parent, racing the child's execve — on a loaded host
+    the child can still be a forked copy of pytest when bench reads its
+    cmdline, and bench (correctly) classifies it as a non-queue process."""
+    deadline = time.perf_counter() + timeout_s
+    while time.perf_counter() < deadline:
+        try:
+            if needle in open(f"/proc/{pid}/cmdline", "rb").read():
+                return
+        except OSError:
+            pass
+        time.sleep(0.01)
+    raise AssertionError(f"child {pid} never exec'd into {needle!r}")
+
+
 def test_no_pidfiles_returns_immediately(tmp_path):
     t0 = time.perf_counter()
     bench.wait_for_exclusive(max_wait_s=30, pattern=str(tmp_path / "queue*.pid"))
@@ -50,6 +69,7 @@ def test_live_queue_blocks_until_bounded_giveup(tmp_path):
     fake.write_text("#!/bin/bash\nsleep 30\n")
     child = subprocess.Popen(["bash", str(fake)])
     try:
+        _wait_for_cmdline(child.pid, b"fake_run_queue")
         (tmp_path / "queue.pid").write_text(str(child.pid))
         t0 = time.perf_counter()
         bench.wait_for_exclusive(max_wait_s=1.0, pattern=str(tmp_path / "queue*.pid"))
@@ -66,6 +86,7 @@ def test_live_queue_releases(tmp_path):
     fake.write_text("#!/bin/bash\nsleep 2\n")
     child = subprocess.Popen(["bash", str(fake)])
     try:
+        _wait_for_cmdline(child.pid, b"fake_run_queue")
         (tmp_path / "queue.pid").write_text(str(child.pid))
         t0 = time.perf_counter()
         bench.wait_for_exclusive(max_wait_s=120, poll_s=0.25,
