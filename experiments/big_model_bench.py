@@ -48,6 +48,9 @@ CONFIGS = {
     # the paper recipe's production step: uint8 batch -> on-device
     # RandAugment/erasing/hflip -> mixup/cutmix -> 2-step APGD -> update
     "t224_fullrecipe": dict(arch="convnext_tiny", res=224, mode="at", aug=True),
+    # BASELINE.json config #4 verbatim: "full paper recipe: APGD AT +
+    # augmentations + EMA + label smoothing, ConvNeXt-B-CvSt"
+    "b224_fullrecipe": dict(arch="convnext_base", res=224, mode="at", aug=True),
 }
 
 
