@@ -136,17 +136,32 @@ def _ancestor_pids() -> set:
     return pids
 
 
+_TPU_LOCK_FD = None  # held for process lifetime once acquired
+
+
 def wait_for_exclusive(max_wait_s: float = 2700.0,
                        pattern: str = "/tmp/queue*.pid",
+                       lock_path: str = "/tmp/tpu_queue.lock",
                        poll_s: float = 60.0) -> None:
     """ONE process may use the TPU at a time (CLAUDE.md): if an unattended
-    measurement queue (experiments/run_queue*.sh, pidfile /tmp/queue*.pid) is
-    mid-run, a driver-launched bench would contend and both would hang
-    silently. Wait (bounded) for live queue watchers to finish — unless a
-    queue is this process's own ancestor (the queues run bench.py as their
-    final item). Stale pidfiles are ignored via a cmdline check."""
+    measurement queue (experiments/run_queue*.sh) is mid-run, a
+    driver-launched bench would contend and both would hang silently.
+
+    Two exclusion layers, matching the queue scripts:
+    - flock on `lock_path` (queue12+): acquired non-blocking each poll; once
+      held it is KEPT for the life of this process, so queues launched while
+      bench runs wait for bench too.
+    - pidfile scan (legacy queues + /tmp/pytest.pid): stale pidfiles are
+      ignored via a cmdline check; if a pidfile names one of our own
+      ancestors, WE are the queue's bench invocation — don't self-deadlock
+      (the ancestor also holds the flock, so skip the lock in that case).
+
+    Bounded: after `max_wait_s` bench proceeds anyway (a wedged queue must
+    not permanently eat the driver's round-end benchmark)."""
     import glob
     import sys
+
+    global _TPU_LOCK_FD
 
     ancestors = _ancestor_pids()
     deadline = time.time() + max_wait_s
@@ -162,9 +177,18 @@ def wait_for_exclusive(max_wait_s: float = 2700.0,
                 return  # WE are the queue's bench invocation
             if b"run_queue" in cmdline:
                 busy.append(pid)
+        if not busy and _TPU_LOCK_FD is None:
+            try:
+                import fcntl
+
+                fd = open(lock_path, "w")
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                _TPU_LOCK_FD = fd  # hold until process exit
+            except OSError:
+                busy.append(f"flock:{lock_path}")
         if not busy:
             return
-        print(f"[bench] measurement queue live (pids {busy}), waiting for "
+        print(f"[bench] measurement queue live ({busy}), waiting for "
               "exclusive TPU access", file=sys.stderr, flush=True)
         time.sleep(min(poll_s, max(0.1, deadline - time.time())))
     print("[bench] queue still live after bounded wait; proceeding anyway",

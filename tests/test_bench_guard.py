@@ -12,6 +12,18 @@ import sys
 import time
 
 import bench
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _reset_lock_global():
+    """The lock fd is module-global (held for process life in production);
+    tests must not leak an acquired fd into the next test, or bench would
+    skip acquisition there and assert against a stale lock."""
+    yield
+    if bench._TPU_LOCK_FD is not None:
+        bench._TPU_LOCK_FD.close()
+        bench._TPU_LOCK_FD = None
 
 
 def _wait_for_cmdline(pid, needle: bytes, timeout_s: float = 10.0):
@@ -35,7 +47,8 @@ def _wait_for_cmdline(pid, needle: bytes, timeout_s: float = 10.0):
 
 def test_no_pidfiles_returns_immediately(tmp_path):
     t0 = time.perf_counter()
-    bench.wait_for_exclusive(max_wait_s=30, pattern=str(tmp_path / "queue*.pid"))
+    bench.wait_for_exclusive(max_wait_s=30, pattern=str(tmp_path / "queue*.pid"),
+                             lock_path=str(tmp_path / "tpu.lock"))
     assert time.perf_counter() - t0 < 5
 
 
@@ -45,7 +58,8 @@ def test_stale_pidfile_ignored(tmp_path):
     child.wait()
     (tmp_path / "queue.pid").write_text(str(child.pid))
     t0 = time.perf_counter()
-    bench.wait_for_exclusive(max_wait_s=30, pattern=str(tmp_path / "queue*.pid"))
+    bench.wait_for_exclusive(max_wait_s=30, pattern=str(tmp_path / "queue*.pid"),
+                             lock_path=str(tmp_path / "tpu.lock"))
     assert time.perf_counter() - t0 < 5
 
 
@@ -55,7 +69,8 @@ def test_live_non_queue_process_ignored(tmp_path):
     try:
         (tmp_path / "queue.pid").write_text(str(child.pid))
         t0 = time.perf_counter()
-        bench.wait_for_exclusive(max_wait_s=30, pattern=str(tmp_path / "queue*.pid"))
+        bench.wait_for_exclusive(max_wait_s=30, pattern=str(tmp_path / "queue*.pid"),
+                             lock_path=str(tmp_path / "tpu.lock"))
         assert time.perf_counter() - t0 < 5
     finally:
         child.kill()
@@ -72,7 +87,8 @@ def test_live_queue_blocks_until_bounded_giveup(tmp_path):
         _wait_for_cmdline(child.pid, b"fake_run_queue")
         (tmp_path / "queue.pid").write_text(str(child.pid))
         t0 = time.perf_counter()
-        bench.wait_for_exclusive(max_wait_s=1.0, pattern=str(tmp_path / "queue*.pid"))
+        bench.wait_for_exclusive(max_wait_s=1.0, pattern=str(tmp_path / "queue*.pid"),
+                                 lock_path=str(tmp_path / "tpu.lock"))
         elapsed = time.perf_counter() - t0
         assert 0.9 <= elapsed < 10
     finally:
@@ -90,12 +106,60 @@ def test_live_queue_releases(tmp_path):
         (tmp_path / "queue.pid").write_text(str(child.pid))
         t0 = time.perf_counter()
         bench.wait_for_exclusive(max_wait_s=120, poll_s=0.25,
-                                 pattern=str(tmp_path / "queue*.pid"))
+                                 pattern=str(tmp_path / "queue*.pid"),
+                                 lock_path=str(tmp_path / "tpu.lock"))
         assert time.perf_counter() - t0 < 30
     finally:
         if child.poll() is None:
             child.kill()
         child.wait()
+
+
+def test_flock_held_elsewhere_blocks_until_bounded_giveup(tmp_path):
+    # queue12+ hold /tmp/tpu_queue.lock instead of (only) a pidfile: bench
+    # must wait on the lock, then give up at the bound. flock conflicts are
+    # per open-file-description, so a second fd in this process stands in
+    # for the queue's bash.
+    import fcntl
+
+    lock = tmp_path / "tpu.lock"
+    holder = open(lock, "w")
+    fcntl.flock(holder, fcntl.LOCK_EX)
+    try:
+        t0 = time.perf_counter()
+        bench.wait_for_exclusive(max_wait_s=1.0, poll_s=0.25,
+                                 pattern=str(tmp_path / "queue*.pid"),
+                                 lock_path=str(lock))
+        assert 0.9 <= time.perf_counter() - t0 < 10
+        assert bench._TPU_LOCK_FD is None
+    finally:
+        holder.close()
+
+
+def test_flock_acquired_and_held_for_process_life(tmp_path):
+    # free lock: bench acquires it immediately and KEEPS it, so a queue
+    # launched while bench runs waits for bench
+    import fcntl
+
+    lock = tmp_path / "tpu.lock"
+    t0 = time.perf_counter()
+    bench.wait_for_exclusive(max_wait_s=30,
+                             pattern=str(tmp_path / "queue*.pid"),
+                             lock_path=str(lock))
+    try:
+        assert time.perf_counter() - t0 < 5
+        assert bench._TPU_LOCK_FD is not None
+        probe = open(lock, "w")
+        try:
+            fcntl.flock(probe, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            raise AssertionError("lock was not held")
+        except OSError:
+            pass
+        finally:
+            probe.close()
+    finally:
+        bench._TPU_LOCK_FD.close()
+        bench._TPU_LOCK_FD = None
 
 
 def test_ancestor_queue_is_self(tmp_path):
@@ -106,5 +170,6 @@ def test_ancestor_queue_is_self(tmp_path):
     assert os.getppid() in anc
     (tmp_path / "queue.pid").write_text(str(os.getppid()))
     t0 = time.perf_counter()
-    bench.wait_for_exclusive(max_wait_s=30, pattern=str(tmp_path / "queue*.pid"))
+    bench.wait_for_exclusive(max_wait_s=30, pattern=str(tmp_path / "queue*.pid"),
+                             lock_path=str(tmp_path / "tpu.lock"))
     assert time.perf_counter() - t0 < 5
