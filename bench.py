@@ -276,6 +276,7 @@ def main() -> None:
             {k: r[k] for k in (
                 "config", "arch", "res", "mode", "params_m",
                 "batch", "micro_batch", "grad_accum", "remat", "use_pallas",
+                "attn_impl", "wide_tail",
                 "ms_per_micro_step", "ms_per_batch",
                 "attack_steps_per_s_per_chip", "imgs_per_s",
             ) if k in r}

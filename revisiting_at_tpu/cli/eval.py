@@ -45,14 +45,22 @@ def get_args(argv=None):
     p.add_argument("--n_iter", type=int, default=100)
     p.add_argument("--square_queries", type=int, default=5000,
                    help="Square attack query budget (autoattack n_queries)")
+    p.add_argument("--fab_iter_chunk", type=int, default=50,
+                   help="FAB iterations per device dispatch (bounded-"
+                        "duration programs; trajectories are chunk-"
+                        "invariant — tests/test_dispatch_chunking.py)")
+    p.add_argument("--square_query_chunk", type=int, default=500,
+                   help="Square queries per device dispatch (see "
+                        "--fab_iter_chunk)")
     p.add_argument("--torch_ckpt", type=str, default="",
                    help="load a reference PyTorch .pt checkpoint instead of orbax")
     p.add_argument("--use_pallas", type=int, default=0,
                    help="fused block-tail kernel for ConvNeXt eval (TPU only)")
     p.add_argument("--stem_s2d", type=int, default=0,
                    help="stem stride-2 convs via space-to-depth (ops/stem_conv.py)")
-    p.add_argument("--wide_tail", type=int, default=0,
-                   help="fused-tail full backward past C=512 (ops/block_mlp.py)")
+    p.add_argument("--wide_tail", type=int, default=-1,
+                   help="fused-tail full backward past C=512 (ops/block_mlp.py); "
+                        "-1 = auto (ON for convnext_base/large)")
     p.add_argument("--shard_eval", type=int, default=0,
                    help="shard each eval batch over ALL local devices (data-"
                         "parallel single-eval multi-chip; params replicated)")
@@ -149,7 +157,7 @@ def main(argv=None):
         add_normalization=bool(cfg.model.add_normalization),
         use_pallas=bool(args.use_pallas),
         stem_s2d=bool(args.stem_s2d),
-        wide_tail=bool(args.wide_tail),
+        wide_tail=None if args.wide_tail < 0 else bool(args.wide_tail),
         tp_attn=args.tp if args.tp and args.tp > 1 else 0,
     )
 
@@ -273,6 +281,8 @@ def main(argv=None):
                 norm=norm, eps=eps, attacks_to_run=attacks, n_iter=args.n_iter,
                 square_n_queries=args.square_queries,
                 batch_size=args.batch_size, mesh=mesh,
+                fab_iter_chunk=args.fab_iter_chunk,
+                square_query_chunk=args.square_query_chunk,
             )
             aa = AutoAttack(logits_fn, aa_cfg, logger=logger, variables=variables)
             logger.log(f"norm={norm} eps={eps:.5f} attacks={attacks}")

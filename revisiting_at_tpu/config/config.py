@@ -115,8 +115,9 @@ class TrainingSection:
     # (ops/stem_conv.py; same math, A/B'd per-arch in PROFILE.md)
     stem_s2d: int = 0
     # fused block-tail FULL backward past C=512 against the 64 MB scoped
-    # VMEM cap (ops/block_mlp.py::tail_fusable; A/B'd in PROFILE.md)
-    wide_tail: int = 0
+    # VMEM cap (ops/block_mlp.py::tail_fusable; A/B'd in PROFILE.md).
+    # -1 = auto (factory default: ON for convnext_base/large, OFF otherwise)
+    wide_tail: int = -1
 
 
 @dataclasses.dataclass

@@ -33,8 +33,12 @@ import numpy as np
 
 from ..attacks.apgd import apgd_attack
 from ..ops.norms import check_imgs
-from .fab import fab_attack_targeted
-from .square import square_attack
+from .fab import fab_single_chunk, fab_single_init
+from .square import (
+    square_attack_chunk,
+    square_attack_finish,
+    square_attack_init,
+)
 
 Array = jax.Array
 
@@ -93,6 +97,16 @@ class AutoAttackConfig:
     seed: int = 0
     batch_size: int = 200
     verbose: bool = True
+    # Dispatch-duration bounds. One device program must stay ~1 minute at
+    # the biggest shapes: the tunnel's TPU worker kills multi-minute
+    # executions ("worker crashed", queue13 — FAB-T/Square at L@320 each
+    # held 900/5000 model evals in ONE program; APGD, whose driver
+    # dispatches per-target ~100-iteration programs, passed at the same
+    # shape). Attacks are carry-resumable (fab_single_chunk /
+    # square_attack_chunk), draws keyed on absolute iteration — chunked
+    # trajectories are bit-identical to single-dispatch ones.
+    fab_iter_chunk: int = 50  # FAB iterations per dispatch (per target)
+    square_query_chunk: int = 500  # Square queries per dispatch
     # shard each dispatched batch's leading dim over this mesh's ("data",
     # "fsdp") axes — single-eval multi-chip parallelism (None: one device).
     # Single-controller meshes only: batches are device_put from one host
@@ -165,27 +179,42 @@ class AutoAttack:
             )
             return res.x_best_adv, res.acc
 
-        # fab/square kernels are lax.scan programs; jitting the whole call
-        # (with `v` as an argument) both hoists the params out of the module
-        # and removes the remaining eager dispatches around the scans
+        # fab/square run as bounded-duration chunk programs with the carry
+        # threaded through host-level calls (see the cfg chunk fields).
+        # `v` as a jit argument hoists the params out of the module; it0 /
+        # n_valid are traced scalars so ONE compiled chunk program serves
+        # every chunk position and budget.
+        fab_chunk = max(1, min(cfg.fab_iter_chunk, n_iter))
+
         @jax.jit
-        def _fab(v, x, y, y_targets, rng):
-            return fab_attack_targeted(
-                partial(vfn, v), x, y, y_targets,
-                norm=cfg.norm, eps=cfg.eps, n_iter=n_iter, rng=rng,
+        def _fab_chunk(v, x, y, y_target, carry, n_valid):
+            return fab_single_chunk(
+                partial(vfn, v), x, y, y_target, carry, fab_chunk, n_valid,
+                norm=cfg.norm,
+            )
+
+        sq_chunk = max(1, min(cfg.square_query_chunk, cfg.square_n_queries - 1))
+
+        @jax.jit
+        def _square_init(v, x, y, rng):
+            return square_attack_init(
+                partial(vfn, v), x, y, norm=cfg.norm, eps=cfg.eps, rng=rng
             )
 
         @jax.jit
-        def _square(v, x, y, rng):
-            return square_attack(
-                partial(vfn, v), x, y, norm=cfg.norm, eps=cfg.eps,
-                n_queries=cfg.square_n_queries, rng=rng,
+        def _square_chunk(v, x, y, carry, it0, n_valid, rng):
+            return square_attack_chunk(
+                partial(vfn, v), x, y, carry, it0, sq_chunk, n_valid,
+                norm=cfg.norm, eps=cfg.eps, rng=rng,
             )
 
         self._apgd_ce = _apgd_ce
         self._apgd_t = _apgd_t
-        self._fab = _fab
-        self._square = _square
+        self._fab_chunk_fn = _fab_chunk
+        self._fab_chunk = fab_chunk
+        self._square_init = _square_init
+        self._square_chunk_fn = _square_chunk
+        self._sq_chunk = sq_chunk
 
     # ----------------------------------------------------------- utilities
     def _dev(self, a) -> Array:
@@ -340,17 +369,46 @@ class AutoAttack:
                     still &= acc[:nb]
 
             elif attack == "fab-t":
+                # per-target, per-chunk dispatches (bounded duration); best
+                # minimum-norm point over all targets, exactly as
+                # fab_attack_targeted's one-program scan computes it
                 targets = self._top_target_classes(xb)
-                adv, success = self._fab(
-                    self._v, xb_j, yb_j, self._dev(targets.astype(np.int64)), kb
-                )
-                adv, success = np.asarray(adv), np.asarray(success)
+                xb_f = np.asarray(xb_j, np.float32)
+                best_x = xb_f.copy()
+                best_res = np.full(len(xb_f), 1e10, np.float32)
+                n_it = cfg.n_iter
+                for t in range(cfg.n_target_classes):
+                    yt = self._dev(targets[:, t].astype(np.int64))
+                    carry = tuple(
+                        self._dev(a) for a in fab_single_init(xb_f)
+                    )
+                    done = 0
+                    while done < n_it:
+                        nv = min(self._fab_chunk, n_it - done)
+                        carry = self._fab_chunk_fn(
+                            self._v, xb_j, yb_j, yt, carry, jnp.int32(nv)
+                        )
+                        done += nv
+                    xb_t, res = np.asarray(carry[1]), np.asarray(carry[2])
+                    better = res < best_res
+                    best_x[better] = xb_t[better]
+                    best_res[better] = res[better]
+                success = best_res <= cfg.eps
                 got = success[:nb]
-                _keep(i, got, adv[:nb])
+                _keep(i, got, best_x[:nb])
                 flipped[i : i + nb] |= got
 
             elif attack == "square":
-                adv, acc = self._square(self._v, xb_j, yb_j, kb)
+                carry = self._square_init(self._v, xb_j, yb_j, kb)
+                n_q = cfg.square_n_queries - 1  # init consumed 1 query
+                it0 = 0
+                while it0 < n_q:
+                    carry = self._square_chunk_fn(
+                        self._v, xb_j, yb_j, carry,
+                        jnp.int32(it0), jnp.int32(n_q), kb,
+                    )
+                    it0 += self._sq_chunk
+                adv, acc = square_attack_finish(carry)
                 adv, acc = np.asarray(adv), np.asarray(acc)
                 got = ~acc[:nb]
                 _keep(i, got, adv[:nb])

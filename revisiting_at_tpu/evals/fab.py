@@ -180,24 +180,36 @@ def _dist(a: Array, b: Array, norm: str) -> Array:
     return l1_norm(d)
 
 
-def fab_attack_single_target(
+def fab_single_init(x: Array) -> tuple[Array, Array, Array]:
+    """Initial carry for one targeted FAB run: (x1, x_best, res_best)."""
+    x = x.astype(jnp.float32)
+    return (x, x, jnp.full((x.shape[0],), 1e10, jnp.float32))
+
+
+def fab_single_chunk(
     logits_fn: Callable[[Array], Array],
     x: Array,
     y: Array,
     y_target: Array,
+    carry,
+    n_chunk: int,
+    n_valid: Array | None = None,
     *,
     norm: str = "Linf",
-    eps: float = 4.0 / 255.0,
-    n_iter: int = 100,
     alpha_max: float = 0.1,
     eta: float = 1.05,
     beta: float = 0.9,
-) -> tuple[Array, Array]:
-    """One targeted FAB run. Returns (x_best, best_distortion)."""
-    bs = x.shape[0]
+):
+    """Advance one targeted FAB run by n_chunk iterations (resumable carry).
+
+    FAB consumes no randomness, so resuming a carry across device dispatches
+    is exact. `n_valid` (traced scalar: how many of the n_chunk iterations
+    are real; the rest are lax.cond no-ops that skip the model) lets a
+    fixed-n_chunk compiled program serve any n_iter — the AutoAttack driver
+    uses this to bound single-dispatch duration (the tunnel worker's
+    execution watchdog kills multi-minute programs; see queue13, NEXT.md)."""
     x = x.astype(jnp.float32)
     xf = _flat(x)
-    u = jnp.arange(bs)
 
     def diff_and_grad(x1):
         def f(z):
@@ -253,8 +265,37 @@ def fab_attack_single_target(
         x1_next = x1_back * back + x1_new * (1.0 - back)
         return (x1_next, x_best, res_best), None
 
-    init = (x, x, jnp.full((bs,), 1e10, jnp.float32))
-    (x1, x_best, res_best), _ = jax.lax.scan(body, init, None, length=n_iter)
+    if n_valid is None:
+        carry, _ = jax.lax.scan(body, carry, None, length=n_chunk)
+        return carry
+
+    def masked(c, it):
+        c = jax.lax.cond(it < n_valid, lambda c: body(c, None)[0], lambda c: c, c)
+        return c, None
+
+    carry, _ = jax.lax.scan(masked, carry, jnp.arange(n_chunk))
+    return carry
+
+
+def fab_attack_single_target(
+    logits_fn: Callable[[Array], Array],
+    x: Array,
+    y: Array,
+    y_target: Array,
+    *,
+    norm: str = "Linf",
+    eps: float = 4.0 / 255.0,
+    n_iter: int = 100,
+    alpha_max: float = 0.1,
+    eta: float = 1.05,
+    beta: float = 0.9,
+) -> tuple[Array, Array]:
+    """One targeted FAB run. Returns (x_best, best_distortion)."""
+    carry = fab_single_chunk(
+        logits_fn, x, y, y_target, fab_single_init(x), n_iter,
+        norm=norm, alpha_max=alpha_max, eta=eta, beta=beta,
+    )
+    _, x_best, res_best = carry
     return x_best, res_best
 
 

@@ -172,32 +172,37 @@ def _grid_init(x: Array, k_init: Array, tail) -> Array:
 # ---------------------------------------------------------------------------
 
 
-def square_attack_l2(
+def _l2_parts(
     logits_fn: Callable[[Array], Array],
     x: Array,
     y: Array,
-    *,
-    eps: float = 2.0,
-    n_queries: int = 5000,
-    p_init: float = 0.8,
-    rng: Array | None = None,
-) -> tuple[Array, Array]:
+    eps: float,
+    p_init: float,
+    rng: Array,
+):
     """Official L2 Square attack (autoattack square.py L2 branch): one
     batch-shared window pair per query; window 2's mass is freed, window 1
     is overwritten with (eta·signs + unit-normalized old content) scaled to
     the per-channel budget sqrt(max(eps²-‖δ‖²,0)/c + ‖δ·maskᵤ‖²); the full
-    perturbation is then renormalized onto the eps sphere."""
-    assert rng is not None
+    perturbation is then renormalized onto the eps sphere.
+
+    Returns (init, body): init() -> carry, body(carry, it) -> (carry, None)
+    with `it` the ABSOLUTE query index (all draws are keyed on it, so the
+    scan can be split across device dispatches without changing the
+    trajectory — see square_attack_chunk)."""
     b, h, w, c = x.shape
     x = x.astype(jnp.float32)
     n_features = h * w * c
     tail = _tail_table(h + 2)
 
     k_init, k_loop = jax.random.split(rng)
-    delta = _grid_init(x, k_init, tail)
-    nrm = jnp.sqrt(jnp.sum(delta**2, axis=(1, 2, 3), keepdims=True))
-    x_best = jnp.clip(x + delta / (nrm + 1e-12) * eps, 0.0, 1.0)
-    margin_min, loss_min = _margin_loss(logits_fn(x_best), y)
+
+    def init():
+        delta = _grid_init(x, k_init, tail)
+        nrm = jnp.sqrt(jnp.sum(delta**2, axis=(1, 2, 3), keepdims=True))
+        x_best = jnp.clip(x + delta / (nrm + 1e-12) * eps, 0.0, 1.0)
+        margin_min, loss_min = _margin_loss(logits_fn(x_best), y)
+        return (x_best, margin_min, loss_min)
 
     ys = jax.lax.broadcasted_iota(jnp.int32, (1, h, w, 1), 1)
     xs = jax.lax.broadcasted_iota(jnp.int32, (1, h, w, 1), 2)
@@ -255,22 +260,17 @@ def square_attack_l2(
         margin_min = jnp.where(take, margin_c, margin_min)
         return (x_best, margin_min, loss_min), None
 
-    (x_best, margin_min, _), _ = jax.lax.scan(
-        body, (x_best, margin_min, loss_min), jnp.arange(n_queries - 1)
-    )
-    return x_best, margin_min > 0.0
+    return init, body
 
 
-def square_attack_l1(
+def _l1_parts(
     logits_fn: Callable[[Array], Array],
     x: Array,
     y: Array,
-    *,
-    eps: float = 75.0,
-    n_queries: int = 5000,
-    p_init: float = 0.8,
-    rng: Array | None = None,
-) -> tuple[Array, Array]:
+    eps: float,
+    p_init: float,
+    rng: Array,
+):
     """Official L1 Square attack (autoattack square.py L1 branch — the
     variant added for 'Mind the box' L1 robustness; completes
     --l_norms L1 --full_aa 1, reference eps table AA_eval.py:33 L1=75).
@@ -280,22 +280,25 @@ def square_attack_l1(
     per-channel L1 budget max(eps-‖δ‖₁,0)/c + ‖δ·maskᵤ‖₁, and the result
     is projected EXACTLY onto the L1 ball ∩ box via ops/norms.l1_projection
     (the official library's L1_projection, reference
-    autopgd_train_clean.py:24-91)."""
+    autopgd_train_clean.py:24-91). Same (init, body) contract as
+    _l2_parts."""
     from ..ops.norms import l1_projection
 
-    assert rng is not None
     b, h, w, c = x.shape
     x = x.astype(jnp.float32)
     n_features = h * w * c
     tail = _tail_table(h + 2)
 
     k_init, k_loop = jax.random.split(rng)
-    delta = _grid_init(x, k_init, tail)
-    nrm = jnp.sum(jnp.abs(delta), axis=(1, 2, 3), keepdims=True)
-    delta = delta / (nrm + 1e-12) * eps
-    delta = delta + l1_projection(x, delta, eps)
-    x_best = jnp.clip(x + delta, 0.0, 1.0)
-    margin_min, loss_min = _margin_loss(logits_fn(x_best), y)
+
+    def init():
+        delta = _grid_init(x, k_init, tail)
+        nrm = jnp.sum(jnp.abs(delta), axis=(1, 2, 3), keepdims=True)
+        delta = delta / (nrm + 1e-12) * eps
+        delta = delta + l1_projection(x, delta, eps)
+        x_best = jnp.clip(x + delta, 0.0, 1.0)
+        margin_min, loss_min = _margin_loss(logits_fn(x_best), y)
+        return (x_best, margin_min, loss_min)
 
     ys = jax.lax.broadcasted_iota(jnp.int32, (1, h, w, 1), 1)
     xs = jax.lax.broadcasted_iota(jnp.int32, (1, h, w, 1), 2)
@@ -349,45 +352,32 @@ def square_attack_l1(
         margin_min = jnp.where(take, margin_c, margin_min)
         return (x_best, margin_min, loss_min), None
 
-    (x_best, margin_min, _), _ = jax.lax.scan(
-        body, (x_best, margin_min, loss_min), jnp.arange(n_queries - 1)
-    )
-    return x_best, margin_min > 0.0
+    return init, body
 
 
-def square_attack(
+def _linf_parts(
     logits_fn: Callable[[Array], Array],
     x: Array,
     y: Array,
-    *,
-    norm: str = "Linf",
-    eps: float = 4.0 / 255.0,
-    n_queries: int = 5000,
-    p_init: float = 0.8,
-    rng: Array | None = None,
-) -> tuple[Array, Array]:
-    """Returns (x_best, acc): acc[i]=False means sample i was misclassified."""
-    if norm == "L2":
-        return square_attack_l2(
-            logits_fn, x, y, eps=eps, n_queries=n_queries, p_init=p_init, rng=rng
-        )
-    if norm == "L1":
-        return square_attack_l1(
-            logits_fn, x, y, eps=eps, n_queries=n_queries, p_init=p_init, rng=rng
-        )
-    if norm != "Linf":
-        raise NotImplementedError(f"square_attack: unsupported norm {norm!r}")
-    assert rng is not None
+    eps: float,
+    p_init: float,
+    rng: Array,
+):
+    """Official Linf Square attack. Same (init, body) contract as
+    _l2_parts."""
     b, h, w, c = x.shape
     x = x.astype(jnp.float32)
 
     # init: vertical stripes of ±eps per (column, channel) — official init
     k_init, k_loop = jax.random.split(rng)
-    stripes = jnp.where(
-        jax.random.bernoulli(k_init, 0.5, (b, 1, w, c)), eps, -eps
-    )
-    x_best = jnp.clip(x + stripes, 0.0, 1.0)
-    margin_min, loss_min = _margin_loss(logits_fn(x_best), y)
+
+    def init():
+        stripes = jnp.where(
+            jax.random.bernoulli(k_init, 0.5, (b, 1, w, c)), eps, -eps
+        )
+        x_best = jnp.clip(x + stripes, 0.0, 1.0)
+        margin_min, loss_min = _margin_loss(logits_fn(x_best), y)
+        return (x_best, margin_min, loss_min)
 
     ys = jax.lax.broadcasted_iota(jnp.int32, (1, h, w, 1), 1)
     xs = jax.lax.broadcasted_iota(jnp.int32, (1, h, w, 1), 2)
@@ -423,8 +413,118 @@ def square_attack(
         margin_min = jnp.where(take, margin_c, margin_min)
         return (x_best, margin_min, loss_min), None
 
-    (x_best, margin_min, _), _ = jax.lax.scan(
-        body, (x_best, margin_min, loss_min), jnp.arange(n_queries - 1)
+    return init, body
+
+
+def _parts(logits_fn, x, y, norm, eps, p_init, rng):
+    assert rng is not None
+    if norm == "Linf":
+        return _linf_parts(logits_fn, x, y, eps, p_init, rng)
+    if norm == "L2":
+        return _l2_parts(logits_fn, x, y, eps, p_init, rng)
+    if norm == "L1":
+        return _l1_parts(logits_fn, x, y, eps, p_init, rng)
+    raise NotImplementedError(f"square_attack: unsupported norm {norm!r}")
+
+
+# ---------------------------------------------------------------------------
+# Resumable (chunked-dispatch) API.
+#
+# One Square evaluation is n_queries model forwards; at big shapes a single
+# device program holding all of them runs for many minutes, which trips the
+# tunnel worker's execution watchdog (queue13: FAB-T/Square at 320² killed
+# the TPU worker; APGD, dispatched in ~1-minute programs, passed at the
+# same shape). The fix is carry-resumable attacks: the driver
+# (evals/autoattack.py) scans a bounded chunk of absolute query indices per
+# dispatch and threads the carry through host-level calls. Draws are keyed
+# on the absolute index, so chunked == unchunked bit-for-bit, and the
+# chunk program is compiled ONCE (it0/n_valid are traced scalars; indices
+# past n_valid are masked with lax.cond, costing no model evaluation).
+# ---------------------------------------------------------------------------
+
+
+def square_attack_init(
+    logits_fn: Callable[[Array], Array],
+    x: Array,
+    y: Array,
+    *,
+    norm: str = "Linf",
+    eps: float = 4.0 / 255.0,
+    p_init: float = 0.8,
+    rng: Array | None = None,
+):
+    """Initial carry (x_best, margin_min, loss_min) — the official init
+    point, already scored (consumes 1 query of the budget)."""
+    init, _ = _parts(logits_fn, x, y, norm, eps, p_init, rng)
+    return init()
+
+
+def square_attack_chunk(
+    logits_fn: Callable[[Array], Array],
+    x: Array,
+    y: Array,
+    carry,
+    it0: Array,
+    n_chunk: int,
+    n_valid: Array,
+    *,
+    norm: str = "Linf",
+    eps: float = 4.0 / 255.0,
+    p_init: float = 0.8,
+    rng: Array | None = None,
+):
+    """Advance the carry over absolute query indices [it0, it0 + n_chunk).
+    Indices >= n_valid are no-ops (lax.cond — the model is not evaluated),
+    so a fixed n_chunk serves any query budget with one compile. `rng` must
+    be the SAME key passed to square_attack_init."""
+    _, body = _parts(logits_fn, x, y, norm, eps, p_init, rng)
+
+    def masked(c, it):
+        c = jax.lax.cond(it < n_valid, lambda c: body(c, it)[0], lambda c: c, c)
+        return c, None
+
+    carry, _ = jax.lax.scan(masked, carry, it0 + jnp.arange(n_chunk))
+    return carry
+
+
+def square_attack_finish(carry) -> tuple[Array, Array]:
+    """(x_best, acc) from a carry; acc[i]=False means misclassified."""
+    x_best, margin_min, _ = carry
+    return x_best, margin_min > 0.0
+
+
+def square_attack_l2(logits_fn, x, y, *, eps=2.0, n_queries=5000,
+                     p_init=0.8, rng=None):
+    return square_attack(logits_fn, x, y, norm="L2", eps=eps,
+                         n_queries=n_queries, p_init=p_init, rng=rng)
+
+
+def square_attack_l1(logits_fn, x, y, *, eps=75.0, n_queries=5000,
+                     p_init=0.8, rng=None):
+    return square_attack(logits_fn, x, y, norm="L1", eps=eps,
+                         n_queries=n_queries, p_init=p_init, rng=rng)
+
+
+def square_attack(
+    logits_fn: Callable[[Array], Array],
+    x: Array,
+    y: Array,
+    *,
+    norm: str = "Linf",
+    eps: float = 4.0 / 255.0,
+    n_queries: int = 5000,
+    p_init: float = 0.8,
+    rng: Array | None = None,
+) -> tuple[Array, Array]:
+    """Whole attack in one trace (tests / small shapes). Returns
+    (x_best, acc): acc[i]=False means sample i was misclassified. Built on
+    the chunked path so the oracle-parity tests cover it too."""
+    carry = square_attack_init(
+        logits_fn, x, y, norm=norm, eps=eps, p_init=p_init, rng=rng
     )
-    acc = margin_min > 0.0
-    return x_best, acc
+    n = n_queries - 1
+    carry = square_attack_chunk(
+        logits_fn, x, y, carry, jnp.int32(0), n, jnp.int32(n),
+        norm=norm, eps=eps, p_init=p_init, rng=rng,
+    )
+    return square_attack_finish(carry)

@@ -61,12 +61,18 @@ def get_model(
     tp_attn: int = 0,  # ViT attention-head TP (parallel/tp.py; vit families only)
     attn_impl: str = "qkv",  # ViT fused-attention kernel version (models/vit.py Attention)
     stem_s2d: bool = False,  # ConvStem stride-2 convs via space-to-depth (ops/stem_conv.py)
-    wide_tail: bool = False,  # fused-tail FULL backward past C=512 (ops/block_mlp.py::tail_fusable)
+    # fused-tail FULL backward past C=512 (ops/block_mlp.py::tail_fusable).
+    # None = auto: ON for convnext_base/large where the queue13 A/B measured
+    # -25.6% / -11.9% ms/step (305.0 vs 409.7, 674.7 vs 765.5 @224 bs80 AT);
+    # OFF for ViT where it was neutral-negative (232.6 vs 230.8 on vit_b).
+    wide_tail: bool | None = None,
 ) -> tuple[nn.Module, ModelMeta]:
     """Build a model by reference name. Returns (module, meta).
 
     The module's signature is `module(x, train=False)` with NHWC [0,1] inputs.
     """
+    if wide_tail is None:
+        wide_tail = name in ("convnext_base", "convnext_large")
     common = dict(num_classes=num_classes, dtype=dtype, use_blurpool=use_blurpool)
     meta = None
 

@@ -101,7 +101,7 @@ class Trainer:
             use_pallas=bool(t.use_pallas),
             remat=bool(t.remat),
             stem_s2d=bool(t.stem_s2d),
-            wide_tail=bool(t.wide_tail),
+            wide_tail=None if t.wide_tail < 0 else bool(t.wide_tail),
             tp_attn=tp if tp > 1 else 0,  # ViT families only (factory)
         )
 
