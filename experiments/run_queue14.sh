@@ -58,4 +58,9 @@ run() {
 run 10800 python experiments/aa_at_shape.py --arch convnext_large --img_size 320
 run 9000 python experiments/aa_at_shape.py --arch vit_b --img_size 320
 
+# BASELINE config #4 row refresh: queue13 measured the full-recipe B step
+# with wide_tail OFF (342.6 ms); the factory default is now auto=ON for
+# convnext_base — re-measure the recipe row with the shipped default.
+run 3600 python experiments/big_model_bench.py b224_fullrecipe --wide-tail
+
 echo "[queue14] done $(date -u +%T)" | tee -a "$LOG"
