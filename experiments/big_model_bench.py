@@ -45,6 +45,9 @@ CONFIGS = {
     "vit_b": dict(arch="vit_b", res=224, mode="at"),  # C=768: input-mode tail only
     "vit_s_320eval": dict(arch="vit_s", res=320, mode="eval"),  # 401 tokens
     "t224": dict(arch="convnext_tiny", res=224, mode="at"),
+    # remaining README.md:32,38 headline-table archs
+    "s224": dict(arch="convnext_small", res=224, mode="at"),
+    "iso224": dict(arch="convnext_iso", res=224, mode="at"),
     # the paper recipe's production step: uint8 batch -> on-device
     # RandAugment/erasing/hflip -> mixup/cutmix -> 2-step APGD -> update
     "t224_fullrecipe": dict(arch="convnext_tiny", res=224, mode="at", aug=True),
