@@ -165,11 +165,30 @@ def test_flock_acquired_and_held_for_process_life(tmp_path):
 def test_ancestor_queue_is_self(tmp_path):
     # the queue runs bench.py itself: if the pidfile names one of our own
     # ancestors, bench must NOT wait on it (else the queue deadlocks).
-    # pytest's parent chain stands in for the queue's bash.
-    anc = bench._ancestor_pids()
-    assert os.getppid() in anc
-    (tmp_path / "queue.pid").write_text(str(os.getppid()))
-    t0 = time.perf_counter()
-    bench.wait_for_exclusive(max_wait_s=30, pattern=str(tmp_path / "queue*.pid"),
-                             lock_path=str(tmp_path / "tpu.lock"))
-    assert time.perf_counter() - t0 < 5
+    # Reconstruct the production shape exactly — a bash whose cmdline
+    # contains "run_queue" writes $$ to the pidfile, then CALLS a python
+    # child running wait_for_exclusive; the child must return fast via the
+    # ancestor short-circuit even though a live run_queue pid is listed.
+    # (An earlier version asserted os.getppid() is an ancestor of pytest
+    # itself, which breaks whenever the suite is launched `nohup ... &`
+    # and pytest is reparented to pid 1.)
+    repo = os.path.dirname(os.path.abspath(bench.__file__))
+    inner = tmp_path / "inner.py"
+    inner.write_text(
+        "import sys, time\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        "import bench\n"
+        "t0 = time.perf_counter()\n"
+        f"bench.wait_for_exclusive(max_wait_s=30,\n"
+        f"                         pattern={str(tmp_path / 'queue*.pid')!r},\n"
+        f"                         lock_path={str(tmp_path / 'tpu.lock')!r})\n"
+        "elapsed = time.perf_counter() - t0\n"
+        "assert elapsed < 5, f'waited on own ancestor: {elapsed:.1f}s'\n"
+    )
+    script = tmp_path / "fake_run_queue.sh"
+    script.write_text(
+        f"#!/bin/bash\necho $$ > {tmp_path}/queue.pid\n"
+        f"{sys.executable} {inner}\n"
+    )
+    res = subprocess.run(["bash", str(script)], timeout=90)
+    assert res.returncode == 0
