@@ -44,7 +44,7 @@ run() {
 }
 
 # fresh compiles at new widths: size timeouts for cold compiles
-run 3600 python experiments/big_model_bench.py s224
-run 3600 python experiments/big_model_bench.py iso224
+run 1500 python experiments/big_model_bench.py s224
+run 1500 python experiments/big_model_bench.py iso224
 
 echo "[queue15] done $(date -u +%T)" | tee -a "$LOG"
