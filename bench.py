@@ -37,7 +37,7 @@ RES = 224
 N_ITER = 2
 
 
-def build_at_step(arch: str, *, aug: bool = False):
+def build_at_step(arch: str, *, aug: bool = False, attack: str = "apgd"):
     """Build (step_fn, state, images, labels) for a fused 2-step APGD Linf
     AT step at the reference recipe's bs=80 @224 (run_train.sh:14-18)."""
     from revisiting_at_tpu.data.augment import RandAugmentConfig
@@ -71,10 +71,12 @@ def build_at_step(arch: str, *, aug: bool = False):
         ema_params=ema_init(params),
     )
 
+    # fgsm: the reference's single-step RS-FGSM AT recipe (fgsm_train.py:72-98,
+    # bound at main.py:837-842) — alpha=1.25 step, random start in ±eps
     step_fn = make_train_step(
         model,
         tx,
-        adv=AdvConfig(attack="apgd", norm="Linf", eps=4.0 / 255.0, n_iter=N_ITER),
+        adv=AdvConfig(attack=attack, norm="Linf", eps=4.0 / 255.0, n_iter=N_ITER),
         mixup=MixupConfig(num_classes=1000, label_smoothing=0.1),
         randaug=RandAugmentConfig() if aug else None,
         ema_decay=0.9999,
@@ -92,9 +94,10 @@ def build_at_step(arch: str, *, aug: bool = False):
     return step_fn, state, images, labels
 
 
-def time_at_step(step_fn, state, images, labels, *, n_steps: int) -> float:
+def time_at_step(step_fn, state, images, labels, *, n_steps: int,
+                 att_iters: int = N_ITER) -> float:
     """Warmup (retrying transient tunnel-compile failures) + timed loop;
-    returns attack-steps/sec/chip."""
+    returns attack-steps/sec/chip (att_iters=1 => train-steps/s: FGSM)."""
     from revisiting_at_tpu.utils.retry import buffers_intact, retry_transient
 
     state, metrics = retry_transient(
@@ -114,7 +117,7 @@ def time_at_step(step_fn, state, images, labels, *, n_steps: int) -> float:
     dt = time.perf_counter() - t0
 
     n_chips = jax.device_count()
-    return (n_steps / dt) * N_ITER / n_chips
+    return (n_steps / dt) * att_iters / n_chips
 
 
 def _ancestor_pids() -> set:
@@ -247,15 +250,20 @@ def main() -> None:
     # live regression rows (VERDICT r2 weak#8): measured in this run, each
     # guarded so a transient failure cannot kill the headline metric
     regression_rows = []
-    for name, arch, aug in (
-        ("vit_s_cvst_at", "vit_s", False),
-        ("t224_fullrecipe_at", "convnext_tiny", True),
+    for name, arch, aug, attack in (
+        ("vit_s_cvst_at", "vit_s", False, "apgd"),
+        ("t224_fullrecipe_at", "convnext_tiny", True, "apgd"),
+        # BASELINE config #2: single-step RS-FGSM AT of ViT-S (train-steps/s;
+        # one attack fwd+input-bwd + one eval fwd for adv_acc per step)
+        ("vit_s_fgsm_at", "vit_s", False, "fgsm"),
     ):
         try:
-            v = time_at_step(*build_at_step(arch, aug=aug), n_steps=10)
-            regression_rows.append(
-                {"config": name, "attack_steps_per_s_per_chip": round(v, 3)}
-            )
+            v = time_at_step(*build_at_step(arch, aug=aug, attack=attack),
+                             n_steps=10,
+                             att_iters=N_ITER if attack == "apgd" else 1)
+            key = ("attack_steps_per_s_per_chip" if attack == "apgd"
+                   else "train_steps_per_s_per_chip")
+            regression_rows.append({"config": name, key: round(v, 3)})
         except Exception as e:  # pragma: no cover - tunnel flakes
             regression_rows.append({"config": name, "error": repr(e)[:200]})
 

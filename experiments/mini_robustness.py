@@ -81,7 +81,9 @@ def _run(cmd: list[str], log_path: Path) -> None:
 
 
 def _train_one(name: str, attack: str, epochs: int, arch: str = ARCH,
-               suffix: str = "") -> Path:
+               suffix: str = "", norm: str = "Linf", eps: float = EPS,
+               res: int = RES, batch_size: int = 128,
+               augmentations: int = 0) -> Path:
     folder = RUNS / f"mini_{name}{suffix}"
     common = [
         sys.executable, "-m", "revisiting_at_tpu.cli.train",
@@ -91,47 +93,151 @@ def _train_one(name: str, attack: str, epochs: int, arch: str = ARCH,
         "--data.train_dataset", str(DATA / "train"),
         "--data.val_dataset", str(DATA / "val"),
         "--data.num_classes", "10",
-        "--data.augmentations", "0",
-        "--resolution.min_res", str(RES), "--resolution.max_res", str(RES),
-        "--validation.resolution", str(RES), "--validation.batch_size", "128",
-        "--training.batch_size", "128", "--training.epochs", str(epochs),
+        "--data.augmentations", str(augmentations),
+        "--resolution.min_res", str(res), "--resolution.max_res", str(res),
+        "--validation.resolution", str(res),
+        "--validation.batch_size", str(batch_size),
+        "--training.batch_size", str(batch_size),
+        "--training.epochs", str(epochs),
         "--lr.lr", "1e-3", "--lr.lr_peak_epoch", str(max(epochs // 10, 1)),
         "--logging.folder", str(folder), "--logging.save_freq", "50",
         "--adv.attack", attack,
     ]
     if attack == "apgd":
-        common += ["--adv.norm", "Linf", "--adv.eps", f"{EPS}", "--adv.n_iter", "2"]
+        common += ["--adv.norm", norm, "--adv.eps", f"{eps}", "--adv.n_iter", "2"]
+    elif attack == "fgsm":
+        # reference RS-FGSM recipe defaults (fgsm_train.py:72-98,
+        # main.py:837-842): alpha=1.25 step inside the Linf ball
+        common += ["--adv.eps", f"{eps}", "--adv.alpha", "1.25"]
     _run(common, folder.with_suffix(".log"))
     run_dirs = sorted(folder.glob("*/params.json"))
     assert run_dirs, f"no run dir under {folder}"
     return run_dirs[-1].parent
 
 
-def _eval_one(run_dir: Path, tag: str) -> dict:
-    log = run_dir / f"evaluated_logs_Linf_0.txt"
+def _eval_one(run_dir: Path, tag: str, norms: str = "Linf",
+              epss: str | None = None, img_size: int = RES) -> dict:
+    """Run the eval CLI over comma-separated `norms` (aligned `epss`);
+    returns {clean_acc, robust_acc} for one norm or
+    {clean_acc, robust_acc_<norm>: ...} for several."""
+    log = run_dir / f"evaluated_logs_{norms}_0.txt"
     if log.exists():
         log.unlink()
-    _run(
-        [
-            sys.executable, "-m", "revisiting_at_tpu.cli.eval",
-            "--run_dir", str(run_dir),
-            "--data_dir", str(DATA / "val"),
-            "--n_ex", "256", "--batch_size", "128",
-            "--img_size", str(RES),
-            "--l_norms", "Linf", "--eps", f"{EPS}",
-            "--full_aa", "0", "--n_iter", "100",
-        ],
-        RUNS / f"mini_eval_{tag}.log",
-    )
+    cmd = [
+        sys.executable, "-m", "revisiting_at_tpu.cli.eval",
+        "--run_dir", str(run_dir),
+        "--data_dir", str(DATA / "val"),
+        "--n_ex", "256", "--batch_size", "128",
+        "--img_size", str(img_size),
+        "--l_norms", norms,
+        "--full_aa", "0", "--n_iter", "100",
+    ]
+    if epss is None:
+        cmd += ["--eps", f"{EPS}"]
+    else:
+        cmd += ["--l_epss", epss]
+    _run(cmd, RUNS / f"mini_eval_{tag}.log")
     txt = log.read_text()
     clean = re.search(r"initial \(clean\) accuracy: ([\d.]+)%", txt)
-    robust = re.search(r"robust accuracy \(re-scored on x_adv\): ([\d.]+)%", txt)
-    assert clean and robust, txt[-2000:]
-    return {"clean_acc": float(clean.group(1)), "robust_acc": float(robust.group(1))}
+    assert clean, txt[-2000:]
+    out = {"clean_acc": float(clean.group(1))}
+    norm_list = norms.split(",")
+    for norm in norm_list:
+        m = re.search(rf"robust accuracy \({norm}\): ([\d.]+)%", txt)
+        assert m, (norm, txt[-2000:])
+        key = "robust_acc" if len(norm_list) == 1 else f"robust_acc_{norm}"
+        out[key] = float(m.group(1))
+    return out
+
+
+L2_EPS = 1.0  # ~Linf 4/255 * sqrt(d)/2 at 64x64x3 — trains stably (cf. EPS note)
+
+
+def _merge_results(path: Path, update: dict) -> dict:
+    res = json.loads(path.read_text()) if path.exists() else {}
+    res.update(update)
+    path.write_text(json.dumps(res, indent=2) + "\n")
+    return res
+
+
+def stage_fgsm(arch: str = ARCH) -> None:
+    """BASELINE config #2 arm: single-step RS-FGSM AT through the full CLI.
+    Expectation (VERDICT r4 missing#2): robust acc lands BETWEEN the
+    clean-trained twin (~5%) and the 2-step APGD-AT model."""
+    suffix = "" if arch == ARCH else f"_{arch}"
+    run = _train_one("fgsm", "fgsm", epochs=150, arch=arch, suffix=suffix)
+    row = _eval_one(run, f"fgsm{suffix}")
+    out = REPO / "experiments" / f"RESULTS_mini{suffix}.json"
+    res = _merge_results(out, {"fgsm_run": str(run), "fgsm_model": row})
+    print(json.dumps({"fgsm_model": row}, indent=2))
+    c, a = res.get("clean_model"), res.get("at_model")
+    if c and a:
+        assert row["robust_acc"] > c["robust_acc"] + 10.0, (
+            f"FGSM-AT robust acc {row['robust_acc']} not >> clean-trained "
+            f"{c['robust_acc']}")
+        print(f"OK: FGSM-AT robust {row['robust_acc']}% sits between "
+              f"clean-trained {c['robust_acc']}% and APGD-AT {a['robust_acc']}%")
+
+
+def stage_l2(arch: str = ARCH) -> None:
+    """L2-APGD adversarial TRAINING arm (VERDICT r4 missing#3: the one
+    untraveled training path — reference apgd_train handles any norm,
+    autopgd_train_clean.py:228-250) + cross-norm eval table: both AT models
+    evaluated under Linf AND L2 (the paper's generalization-across-threat-
+    models theme at mini scale)."""
+    suffix = "" if arch == ARCH else f"_{arch}"
+    run = _train_one("l2at", "apgd", epochs=150, arch=arch, suffix=suffix,
+                     norm="L2", eps=L2_EPS)
+    epss = f"{EPS},{L2_EPS}"
+    l2_row = _eval_one(run, f"l2at{suffix}", norms="Linf,L2", epss=epss)
+    out = REPO / "experiments" / f"RESULTS_mini{suffix}.json"
+    res = json.loads(out.read_text()) if out.exists() else {}
+    cross = {"l2_at_model": l2_row, "eps": {"Linf": EPS, "L2": L2_EPS}}
+    if "at_run" in res:
+        cross["linf_at_model"] = _eval_one(
+            Path(res["at_run"]), f"at_xnorm{suffix}", norms="Linf,L2", epss=epss)
+    res = _merge_results(out, {"l2_at_run": str(run), "cross_norm": cross})
+    print(json.dumps({"cross_norm": cross}, indent=2))
+    assert l2_row["robust_acc_L2"] > 30.0, l2_row
+
+
+def stage_res224(arch: str = ARCH) -> None:
+    """Mini-robustness at the PRODUCTION resolution (VERDICT r4 missing#4):
+    the stored 64px digits are upscaled to 224 by the real tf.data pipeline
+    (RRC decode path), trained at bs80 with --data.augmentations 1 (full
+    RandAugment magnitudes + mixup/cutmix, the headline-step program shape
+    modulo num_classes=10), then AutoAttack'd at 224."""
+    suffix = ("" if arch == ARCH else f"_{arch}") + "_224"
+    clean = _train_one("clean", "none", epochs=40, arch=arch, suffix=suffix,
+                       res=224, batch_size=80, augmentations=1)
+    at = _train_one("at", "apgd", epochs=150, arch=arch, suffix=suffix,
+                    res=224, batch_size=80, augmentations=1)
+    rows = {
+        "dataset": "sklearn digits upscaled 64->224 by the tf.data pipeline",
+        "arch": arch + " + ConvStem", "res": 224, "eps_linf": EPS,
+        "recipe": "bs80, augmentations=1 (RandAugment+mixup/cutmix+ls=0.1)",
+        "clean_run": str(clean), "at_run": str(at),
+        "clean_model": _eval_one(clean, f"clean{suffix}", img_size=224),
+        "at_model": _eval_one(at, f"at{suffix}", img_size=224),
+    }
+    out = REPO / "experiments" / f"RESULTS_mini{suffix}.json"
+    out.write_text(json.dumps(rows, indent=2) + "\n")
+    print(json.dumps(rows, indent=2))
+    c, a = rows["clean_model"], rows["at_model"]
+    assert a["robust_acc"] > c["robust_acc"] + 20.0, (
+        f"224px AT robust acc {a['robust_acc']} not >> clean-trained "
+        f"{c['robust_acc']}")
+    print("OK: AT model is robust at 224, clean-trained twin is not.")
 
 
 def main(stage: str = "all", arch: str = ARCH) -> None:
     t0 = time.time()
+    if stage in ("fgsm", "l2", "res224"):
+        # round-5 arms (VERDICT r4 missing #2/#3/#4); data must exist
+        if not DATA.exists():
+            prepare()
+        {"fgsm": stage_fgsm, "l2": stage_l2, "res224": stage_res224}[stage](arch)
+        return
     # second family proof (e.g. `all vit_s`) writes its own artifacts and
     # run dirs; the default convnext_tiny names stay unchanged
     suffix = "" if arch == ARCH else f"_{arch}"

@@ -26,7 +26,10 @@ class ModelSection:
     add_normalization: int = 1
     not_original: int = 0
     updated: int = 0
-    model_ema: float = 0.0  # 0 disables; >0 enables decay 0.9999
+    model_ema: float = 0.0  # 0 disables; >0 enables (decay = model_ema_decay)
+    # the reference pins 0.9999 (main.py:885); exposed here so the one recipe
+    # constant outside config is tunable (VERDICT r4 weak#7)
+    model_ema_decay: float = 0.9999
     freeze_some: int = 0
     early: int = 1
     drop_path_rate: float = 0.0

