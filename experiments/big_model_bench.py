@@ -92,6 +92,8 @@ def main() -> None:
                     help="stem stride-2 convs via space-to-depth (A/B)")
     ap.add_argument("--wide-tail", action="store_true",
                     help="fused-tail full backward past C=512 (A/B)")
+    ap.add_argument("--split-bwd", action="store_true",
+                    help="two-kernel full backward (ds+dA pass then dw1 pass; A/B)")
     ap.add_argument("--no-cache", action="store_true",
                     help="skip the persistent compile cache (fresh compile)")
     args = ap.parse_args()
@@ -117,6 +119,7 @@ def main() -> None:
         c["arch"], not_original=True, dtype=jnp.bfloat16,
         use_pallas=use_pallas, remat=use_remat, attn_impl=args.attn_impl,
         stem_s2d=args.stem_s2d, wide_tail=args.wide_tail,
+        split_bwd=args.split_bwd,
     )
     t0 = time.perf_counter()
     params = jax.jit(
@@ -181,6 +184,7 @@ def main() -> None:
             "attn_impl": args.attn_impl if c["arch"].startswith("vit") else None,
             "stem_s2d": args.stem_s2d,
             "wide_tail": args.wide_tail,
+            "split_bwd": args.split_bwd,
             "ms_per_micro_step": round(dt * 1e3, 1),
             "attack_steps_per_s_per_chip": round(att_per_s, 3),
             "compile_s": round(t_compile, 1),
@@ -228,6 +232,7 @@ def main() -> None:
         and r.get("attn_impl") == record.get("attn_impl")
         and bool(r.get("stem_s2d")) == bool(record.get("stem_s2d"))
         and bool(r.get("wide_tail")) == bool(record.get("wide_tail"))
+        and bool(r.get("split_bwd")) == bool(record.get("split_bwd"))
     )]
     rows.append(record)
     out_path.write_text(json.dumps(rows, indent=1))

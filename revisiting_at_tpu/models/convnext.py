@@ -58,6 +58,9 @@ class ConvNeXtBlock(nn.Module):
     # admit the fused tail's FULL backward past C=512 (B stage 3 C=1024,
     # L stage 2 C=768) against the 64 MB scoped cap (ops/block_mlp.py)
     wide_tail: bool = False
+    # two-kernel full backward (ds+dA pass, then a matmul-shaped dw1 pass) —
+    # ops/block_mlp.py _bwd_split; A/B knob for VERDICT r4 item#5
+    split_bwd: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -110,10 +113,13 @@ class ConvNeXtBlock(nn.Module):
                                             wide=self.wide_tail):
             from ..ops.block_mlp import convnext_block_tail
 
+            grad_mode = self.pallas_grad_mode
+            if grad_mode == "full" and self.split_bwd:
+                grad_mode = "split"
             return convnext_block_tail(
                 s, shortcut, keep, ln_g, ln_b, w1, b1, w2, b2, gamma,
                 interpret=self.pallas_interpret,
-                grad_mode=self.pallas_grad_mode,
+                grad_mode=grad_mode,
             ).astype(self.dtype)
         if keep is None:
             keep = jnp.ones((x.shape[0],), jnp.float32)
@@ -158,6 +164,7 @@ class ConvNeXt(nn.Module):
     pallas_grad_mode: str = "full"
     use_pallas_dwconv: bool = False
     wide_tail: bool = False  # see ConvNeXtBlock.wide_tail
+    split_bwd: bool = False  # see ConvNeXtBlock.split_bwd
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -197,6 +204,11 @@ class ConvNeXt(nn.Module):
                     pallas_interpret=self.pallas_interpret,
                     pallas_grad_mode=self.pallas_grad_mode,
                     use_pallas_dwconv=self.use_pallas_dwconv,
+                    # round-5 fix: this forwarding was MISSING, making the
+                    # knob a no-op on hierarchical ConvNeXt (the r4 queue13
+                    # "wide_tail A/B" measured stale controls, not the knob)
+                    wide_tail=self.wide_tail,
+                    split_bwd=self.split_bwd,
                     name=f"stage{si}_block{bi}",
                 )(x, train)
                 cur += 1
@@ -230,6 +242,7 @@ class ConvNeXtIsotropic(nn.Module):
     pallas_interpret: bool = False
     pallas_grad_mode: str = "full"
     wide_tail: bool = False  # no effect at iso widths (<= 432); kept for API uniformity
+    split_bwd: bool = False  # see ConvNeXtBlock.split_bwd
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -258,6 +271,7 @@ class ConvNeXtIsotropic(nn.Module):
                 pallas_interpret=self.pallas_interpret,
                 pallas_grad_mode=self.pallas_grad_mode,
                 wide_tail=self.wide_tail,
+                split_bwd=self.split_bwd,
                 name=f"block{bi}",
             )(x, train)
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))

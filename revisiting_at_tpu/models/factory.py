@@ -62,10 +62,15 @@ def get_model(
     attn_impl: str = "qkv",  # ViT fused-attention kernel version (models/vit.py Attention)
     stem_s2d: bool = False,  # ConvStem stride-2 convs via space-to-depth (ops/stem_conv.py)
     # fused-tail FULL backward past C=512 (ops/block_mlp.py::tail_fusable).
-    # None = auto: ON for convnext_base/large where the queue13 A/B measured
-    # -25.6% / -11.9% ms/step (305.0 vs 409.7, 674.7 vs 765.5 @224 bs80 AT);
-    # OFF for ViT where it was neutral-negative (232.6 vs 230.8 on vit_b).
+    # None = auto: ON for convnext_base/large. NOTE (round 5): the r4 queue13
+    # "-25.6%/-11.9%" A/B was an artifact — the knob was never forwarded to
+    # hierarchical-ConvNeXt blocks (fixed this round), so those deltas
+    # measured stale round-3 controls. The auto default stands pending the
+    # round-5 real A/B (experiments/run_queue18.sh).
     wide_tail: bool | None = None,
+    # two-kernel full backward for the fused tail (VERDICT r4 item#5 A/B;
+    # ops/block_mlp.py::_bwd_split)
+    split_bwd: bool = False,
 ) -> tuple[nn.Module, ModelMeta]:
     """Build a model by reference name. Returns (module, meta).
 
@@ -90,7 +95,7 @@ def get_model(
                 stem = partial(ConvStem3, siz=96, s2d=stem_s2d)
         model = ConvNeXt(
             depths=cfg["depths"], dims=cfg["dims"], stem_factory=stem,
-            drop_path_rate=drop_path_rate, remat=remat, use_pallas=use_pallas, pallas_interpret=pallas_interpret, wide_tail=wide_tail, **common,
+            drop_path_rate=drop_path_rate, remat=remat, use_pallas=use_pallas, pallas_interpret=pallas_interpret, wide_tail=wide_tail, split_bwd=split_bwd, **common,
         )
         meta = ModelMeta(name, "convnext")
 
@@ -100,7 +105,7 @@ def get_model(
             stem = partial(ConvStem, siz=48, end_siz=8, fin_dim=432 if updated else 384, s2d=stem_s2d)
         model = ConvNeXtIsotropic(
             dim=432 if updated else 384, depth=18, stem_factory=stem,
-            drop_path_rate=drop_path_rate, remat=remat, use_pallas=use_pallas, pallas_interpret=pallas_interpret, wide_tail=wide_tail, **common,
+            drop_path_rate=drop_path_rate, remat=remat, use_pallas=use_pallas, pallas_interpret=pallas_interpret, wide_tail=wide_tail, split_bwd=split_bwd, **common,
         )
         meta = ModelMeta(name, "convnext")
 
@@ -110,7 +115,7 @@ def get_model(
         model = VisionTransformer(
             embed_factory=embed, drop_path_rate=drop_path_rate, remat=remat,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
-            tp_attn=tp_attn, attn_impl=attn_impl, wide_tail=wide_tail, **cfg, **common
+            tp_attn=tp_attn, attn_impl=attn_impl, wide_tail=wide_tail, split_bwd=split_bwd, **cfg, **common
         )
         meta = ModelMeta(name, "vit")
 
@@ -120,7 +125,7 @@ def get_model(
         model = VisionTransformer(
             embed_factory=embed, drop_path_rate=drop_path_rate, remat=remat,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
-            tp_attn=tp_attn, attn_impl=attn_impl, wide_tail=wide_tail, **cfg, **common
+            tp_attn=tp_attn, attn_impl=attn_impl, wide_tail=wide_tail, split_bwd=split_bwd, **cfg, **common
         )
         meta = ModelMeta(name, "vit")
 
@@ -130,7 +135,7 @@ def get_model(
         model = VisionTransformer(
             embed_factory=embed, drop_path_rate=drop_path_rate, remat=remat,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
-            tp_attn=tp_attn, attn_impl=attn_impl, wide_tail=wide_tail, **cfg, **common
+            tp_attn=tp_attn, attn_impl=attn_impl, wide_tail=wide_tail, split_bwd=split_bwd, **cfg, **common
         )
         meta = ModelMeta(name, "vit")
 
@@ -140,7 +145,7 @@ def get_model(
         stem = partial(ConvStem1, siz=8, s2d=stem_s2d) if not_original else None
         model = ConvNeXt(
             depths=(1, 1, 1, 1), dims=(16, 32, 64, 128), stem_factory=stem,
-            drop_path_rate=drop_path_rate, remat=remat, use_pallas=use_pallas, pallas_interpret=pallas_interpret, wide_tail=wide_tail, **common,
+            drop_path_rate=drop_path_rate, remat=remat, use_pallas=use_pallas, pallas_interpret=pallas_interpret, wide_tail=wide_tail, split_bwd=split_bwd, **common,
         )
         meta = ModelMeta(name, "convnext")
 
@@ -151,7 +156,7 @@ def get_model(
             embed_dim=32, depth=2, num_heads=2, embed_factory=embed,
             drop_path_rate=drop_path_rate, use_pallas=use_pallas,
             pallas_interpret=pallas_interpret, tp_attn=tp_attn,
-            attn_impl=attn_impl, **common,
+            attn_impl=attn_impl, split_bwd=split_bwd, **common,
         )
         meta = ModelMeta(name, "vit")
 

@@ -200,6 +200,8 @@ class ViTBlock(nn.Module):
     # admit the fused MLP tail's FULL backward past C=512 (ViT-B C=768)
     # against the 64 MB scoped-VMEM cap (ops/block_mlp.py::tail_fusable)
     wide_tail: bool = False
+    # two-kernel full backward A/B knob (ops/block_mlp.py _bwd_split)
+    split_bwd: bool = False
 
     def _ls(self, name: str, x: jax.Array) -> jax.Array:
         if self.init_values is None:
@@ -249,10 +251,13 @@ class ViTBlock(nn.Module):
                 keep = mask.astype(jnp.float32) / keep_p
             else:
                 keep = None
+            grad_mode = self.pallas_grad_mode
+            if grad_mode == "full" and self.split_bwd:
+                grad_mode = "split"
             return vit_mlp_tail(
                 x, keep, ln_g, ln_b, w1, b1, w2, b2, gamma,
                 interpret=self.pallas_interpret,
-                grad_mode=self.pallas_grad_mode,
+                grad_mode=grad_mode,
             ).astype(self.dtype)
 
         y = LayerNorm(dtype=self.dtype, name="norm2")(x)
@@ -292,6 +297,7 @@ class VisionTransformer(nn.Module):
     tp_attn: int = 0  # attention-head activation sharding (see Attention)
     attn_impl: str = "qkv"  # see Attention.attn_impl
     wide_tail: bool = False  # see ViTBlock.wide_tail
+    split_bwd: bool = False  # see ViTBlock.split_bwd
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -345,6 +351,7 @@ class VisionTransformer(nn.Module):
                 tp_attn=self.tp_attn,
                 attn_impl=self.attn_impl,
                 wide_tail=self.wide_tail,
+                split_bwd=self.split_bwd,
                 name=f"block{i}",
             )(tokens, train)
 

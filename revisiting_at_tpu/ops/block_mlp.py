@@ -171,6 +171,69 @@ def _bwd_kernel(s_ref, keep_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2g_ref,
     ds_ref[0] = ds.astype(ds_ref.dtype)
 
 
+def _bwd_ds_kernel(s_ref, keep_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2g_ref,
+                   dy_ref,
+                   ds_ref, dh_ref, db1_ref, dA_ref, dlng_ref, dlnb_ref):
+    """Split-backward pass 1 (VERDICT r4 item#5): the full backward WITHOUT
+    the dw1 accumulation — one f32 [H,C] accumulator (dA) instead of two,
+    so tiles grow toward the input-only kernel's budget — plus a bf16 dh
+    side-output that pass 2 (_bwd_dw1_kernel) turns into dw1 with a pure
+    matmul-shaped accumulation. Per-tile math identical to _bwd_kernel."""
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _init():
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dA_ref[:] = jnp.zeros_like(dA_ref)
+        dlng_ref[:] = jnp.zeros_like(dlng_ref)
+        dlnb_ref[:] = jnp.zeros_like(dlnb_ref)
+
+    s = s_ref[0].astype(jnp.float32)
+    g_ln = lng_ref[0]
+    u, xhat, inv = _ln_f32(s, g_ln, lnb_ref[0])
+    u16 = u.astype(jnp.bfloat16)
+    h = jnp.dot(u16, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[0]
+    g, dgelu = _gelu_and_dgelu_f32(h)
+    g16 = g.astype(jnp.bfloat16)
+
+    dy = dy_ref[0].astype(jnp.float32)
+    keep = keep_ref[pl.program_id(0), 0]
+    kdy16 = (keep * dy).astype(jnp.bfloat16)
+
+    dA_ref[:] += _dotT_acc(g16, kdy16)
+    dg = _dot_rhsT(kdy16, w2g_ref[:])
+    dh = dg * dgelu
+    dh16 = dh.astype(jnp.bfloat16)
+    dh_ref[0] = dh16                       # pass-2 input (bf16 HBM round-trip)
+    db1_ref[0] += jnp.sum(dh, axis=0)
+    du = _dot_rhsT(dh16, w1_ref[:])
+
+    dlng_ref[0] += jnp.sum(du * xhat, axis=0)
+    dlnb_ref[0] += jnp.sum(du, axis=0)
+
+    dxh = du * g_ln
+    m1 = jnp.mean(dxh, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxh * xhat, axis=-1, keepdims=True)
+    ds = inv * (dxh - m1 - xhat * m2)
+    ds_ref[0] = ds.astype(ds_ref.dtype)
+
+
+def _bwd_dw1_kernel(s_ref, lng_ref, lnb_ref, dh_ref, dw1_ref):
+    """Split-backward pass 2: dw1 = LN(s)16^T @ dh16, accumulated over the
+    grid. Recomputes ONLY the LayerNorm (VPU reductions, no matmul, no
+    tanh); the lone f32 [C,H] accumulator + one matmul per tile makes this
+    the bwd-input-kernel-shaped pattern the monolithic kernel can't reach."""
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _init():
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+
+    s = s_ref[0].astype(jnp.float32)
+    u, _, _ = _ln_f32(s, lng_ref[0], lnb_ref[0])
+    dw1_ref[:] += _dotT_acc(u.astype(jnp.bfloat16), dh_ref[0])
+
+
 def _bwd_input_kernel(s_ref, keep_ref, lng_ref, lnb_ref, w1_ref, b1_ref,
                       w2g_ref, dy_ref, ds_ref):
     """Input-cotangent-only backward: ds from dy, NO weight gradients.
@@ -277,6 +340,10 @@ def _vjp_bwd(m_tile, interpret, grad_mode, m_tile_bwd, res, dy):
                 z((C, H), w1.dtype), z((H,), b1.dtype),
                 z((H, C), w2.dtype), z((C,), b2.dtype), z((C,), gamma.dtype))
 
+    if grad_mode == "split":
+        return _bwd_split(s, keep, ln_g, ln_b, w1, b1, w2, b2, gamma,
+                          m_tile, interpret, dy)
+
     out_shapes = (
         jax.ShapeDtypeStruct((B, M, C), s.dtype),   # ds
         jax.ShapeDtypeStruct((C, H), jnp.float32),  # dw1
@@ -312,6 +379,78 @@ def _vjp_bwd(m_tile, interpret, grad_mode, m_tile_bwd, res, dy):
     db2 = gamma_f * kdy_sum
     dgamma = jnp.sum(w2_f * dA, axis=0) + b2.astype(jnp.float32) * kdy_sum
     dkeep = jnp.zeros_like(keep)  # droppath mask: no gradient needed
+    dr = dy
+
+    return (ds, dr, dkeep, dlng.reshape(C), dlnb.reshape(C), dw1,
+            db1.reshape(H), dw2, db2, dgamma)
+
+
+def _bwd_split(s, keep, ln_g, ln_b, w1, b1, w2, b2, gamma, m_tile, interpret, dy):
+    """Two-kernel full backward (VERDICT r4 item#5): pass 1 emits ds + a
+    bf16 dh side-array with dA/db1/dLN accumulated (ONE resident f32 [H,C]
+    accumulator — tiles sized between the input-only and monolithic
+    budgets); pass 2 accumulates dw1 = LN(s)16^T @ dh16 with only an LN
+    recompute. Trades one [B,M,H] bf16 HBM round-trip (~3.2 ms/step at
+    ConvNeXt-T@224 bs80 across stages 0-2) for the monolithic kernel's
+    accumulator-starved tiles. Cotangent math identical to the monolithic
+    kernel; accumulation tile-order differs (f32 sums re-associate)."""
+    B, M, C = s.shape
+    H = w1.shape[1]
+    # pass 1: fixed = w1+w2g bf16 (4CH B) + dA f32 (4CH B); same per-row
+    # temporaries as the monolithic heavy kernel
+    m1_tile = pick_m_tile(M, C, H, heavy=True, fixed=8 * C * H)
+    # pass 2: fixed = dw1 f32 only; per-row = s/u f32 + u16 (10C B) + dh16 (2H B)
+    m2_tile = pick_m_tile(M, C, H, heavy=False, fixed=4 * C * H,
+                          per_row=2 * H + 10 * C)
+    sp1 = _specs(B, m1_tile, C, H)
+    dh_spec1 = pl.BlockSpec((1, m1_tile, H), lambda b, t: (b, t, 0),
+                            memory_space=pltpu.VMEM)
+
+    gamma_f = gamma.astype(jnp.float32)
+    w2_f = w2.astype(jnp.float32)
+    w2g16 = (w2_f * gamma_f).astype(jnp.bfloat16)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, M, C), s.dtype),     # ds
+        jax.ShapeDtypeStruct((B, M, H), jnp.bfloat16),  # dh16 (pass-2 input)
+        jax.ShapeDtypeStruct((1, H), jnp.float32),    # db1
+        jax.ShapeDtypeStruct((H, C), jnp.float32),    # A = g^T @ kdy
+        jax.ShapeDtypeStruct((1, C), jnp.float32),    # dln_g
+        jax.ShapeDtypeStruct((1, C), jnp.float32),    # dln_b
+    )
+    ds, dh16, db1, dA, dlng, dlnb = pl.pallas_call(
+        _bwd_ds_kernel,
+        grid=(B, M // m1_tile),
+        in_specs=[sp1["s"], sp1["keep"], sp1["vecC"], sp1["vecC"], sp1["w1"],
+                  sp1["vecH"], sp1["w2"], sp1["s"]],
+        out_specs=(sp1["s"], dh_spec1, sp1["vecH"], sp1["w2"],
+                   sp1["vecC"], sp1["vecC"]),
+        out_shape=out_shapes,
+        compiler_params=(_COMPILER_PARAMS_WIDE
+                         if 8 * C * H > _WIDE_FIXED_THRESHOLD
+                         else _COMPILER_PARAMS),
+        interpret=interpret,
+    )(s, keep.reshape(B, 1), ln_g.reshape(1, C), ln_b.reshape(1, C), w1,
+      b1.reshape(1, H), w2g16, dy)
+
+    sp2 = _specs(B, m2_tile, C, H)
+    dh_spec2 = pl.BlockSpec((1, m2_tile, H), lambda b, t: (b, t, 0),
+                            memory_space=pltpu.VMEM)
+    dw1 = pl.pallas_call(
+        _bwd_dw1_kernel,
+        grid=(B, M // m2_tile),
+        in_specs=[sp2["s"], sp2["vecC"], sp2["vecC"], dh_spec2],
+        out_specs=sp2["w1"],
+        out_shape=jax.ShapeDtypeStruct((C, H), jnp.float32),
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(s, ln_g.reshape(1, C), ln_b.reshape(1, C), dh16)
+
+    kdy_sum = jnp.sum(dy.astype(jnp.float32) * keep.reshape(B, 1, 1), axis=(0, 1))
+    dw2 = dA * gamma_f[None, :]
+    db2 = gamma_f * kdy_sum
+    dgamma = jnp.sum(w2_f * dA, axis=0) + b2.astype(jnp.float32) * kdy_sum
+    dkeep = jnp.zeros_like(keep)
     dr = dy
 
     return (ds, dr, dkeep, dlng.reshape(C), dlnb.reshape(C), dw1,
@@ -357,17 +496,21 @@ def tail_fusable(C: int, grad_mode: str, wide: bool = False) -> bool:
     return C <= (1024 if wide else 512)
 
 
-def pick_m_tile(M: int, C: int, H: int, heavy: bool = True) -> int:
+def pick_m_tile(M: int, C: int, H: int, heavy: bool = True, *,
+                fixed: int | None = None, per_row: int | None = None) -> int:
     """Largest tile dividing M whose kernel VMEM footprint fits the budget.
 
     heavy=True (full backward): resident bf16 weights + f32 dW1/dW2
     accumulators + ~4 f32 H-wide and ~4 f32 C-wide per-row temporaries.
     heavy=False (forward / input-only backward): no accumulators — much
-    larger tiles, fewer grid steps."""
-    fixed = 2 * C * H * 2 + (2 * C * H * 4 if heavy else 0)
-    per_row = 16 * H + 16 * C
+    larger tiles, fewer grid steps. fixed/per_row override the byte model
+    (the split-backward kernels have their own resident sets)."""
+    if fixed is None:
+        fixed = 2 * C * H * 2 + (2 * C * H * 4 if heavy else 0)
+    if per_row is None:
+        per_row = 16 * H + 16 * C
     budget = tile_budget(C)
-    if heavy and 12 * C * H > _WIDE_FIXED_THRESHOLD:
+    if heavy and fixed > _WIDE_FIXED_THRESHOLD:
         # wide heavy tail (only reachable via tail_fusable(wide=True)):
         # budget against the 64 MB scoped cap instead of the 32 MB one
         budget = 56_000_000
