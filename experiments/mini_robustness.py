@@ -193,7 +193,9 @@ def stage_l2(arch: str = ARCH) -> None:
     out = REPO / "experiments" / f"RESULTS_mini{suffix}.json"
     res = json.loads(out.read_text()) if out.exists() else {}
     cross = {"l2_at_model": l2_row, "eps": {"Linf": EPS, "L2": L2_EPS}}
-    if "at_run" in res:
+    # container restarts wipe runs/: only cross-eval the Linf-AT model if
+    # its checkpoint still exists on disk
+    if "at_run" in res and (Path(res["at_run"]) / "params.json").exists():
         cross["linf_at_model"] = _eval_one(
             Path(res["at_run"]), f"at_xnorm{suffix}", norms="Linf,L2", epss=epss)
     res = _merge_results(out, {"l2_at_run": str(run), "cross_norm": cross})

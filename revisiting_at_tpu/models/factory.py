@@ -62,11 +62,12 @@ def get_model(
     attn_impl: str = "qkv",  # ViT fused-attention kernel version (models/vit.py Attention)
     stem_s2d: bool = False,  # ConvStem stride-2 convs via space-to-depth (ops/stem_conv.py)
     # fused-tail FULL backward past C=512 (ops/block_mlp.py::tail_fusable).
-    # None = auto: ON for convnext_base/large. NOTE (round 5): the r4 queue13
-    # "-25.6%/-11.9%" A/B was an artifact — the knob was never forwarded to
-    # hierarchical-ConvNeXt blocks (fixed this round), so those deltas
-    # measured stale round-3 controls. The auto default stands pending the
-    # round-5 real A/B (experiments/run_queue18.sh).
+    # None = auto, currently OFF everywhere. History: the r4 queue13
+    # "-25.6%/-11.9% on convnext_base/large" A/B was an ARTIFACT — the knob
+    # was never forwarded to hierarchical-ConvNeXt blocks (fixed round 5;
+    # fresh controls: b224 305.4 OFF vs 305.0 "ON", l224 674.8 vs 674.7),
+    # so auto-ON had never actually been measured. Flip per-arch only with
+    # a real same-code A/B (experiments/run_queue18.sh).
     wide_tail: bool | None = None,
     # two-kernel full backward for the fused tail (VERDICT r4 item#5 A/B;
     # ops/block_mlp.py::_bwd_split)
@@ -77,7 +78,7 @@ def get_model(
     The module's signature is `module(x, train=False)` with NHWC [0,1] inputs.
     """
     if wide_tail is None:
-        wide_tail = name in ("convnext_base", "convnext_large")
+        wide_tail = False
     common = dict(num_classes=num_classes, dtype=dtype, use_blurpool=use_blurpool)
     meta = None
 

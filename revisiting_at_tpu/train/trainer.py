@@ -102,6 +102,7 @@ class Trainer:
             remat=bool(t.remat),
             stem_s2d=bool(t.stem_s2d),
             wide_tail=None if t.wide_tail < 0 else bool(t.wide_tail),
+            split_bwd=bool(t.split_bwd),
             tp_attn=tp if tp > 1 else 0,  # ViT families only (factory)
         )
 
