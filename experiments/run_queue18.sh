@@ -48,9 +48,13 @@ run() {
   echo "[queue18] exit=$? $(date -u +%T)" | tee -a "$LOG"
 }
 
-# all four are never-compiled programs: size timeouts for cold compiles
-run 2400 python experiments/big_model_bench.py t224 --split-bwd
-run 2400 python experiments/big_model_bench.py vit_s --split-bwd
+# all are never-compiled programs: size timeouts for cold compiles.
+# t224/vit_s run --no-remat to MATCH the fresh controls (the headline
+# bench config is remat-free: verify_r5 bench measured t224 123.1 /
+# vit_s 102.6 ms same-session; the remat=true t224 split row 144.0 ms
+# already landed and its only control is the stale r3 145.6).
+run 2400 python experiments/big_model_bench.py t224 --split-bwd --no-remat
+run 2400 python experiments/big_model_bench.py vit_s --split-bwd --no-remat
 run 3600 python experiments/big_model_bench.py b224 --wide-tail
 run 4800 python experiments/big_model_bench.py l224 --wide-tail
 
