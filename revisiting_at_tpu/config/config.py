@@ -119,8 +119,8 @@ class TrainingSection:
     stem_s2d: int = 0
     # fused block-tail FULL backward past C=512 against the 64 MB scoped
     # VMEM cap (ops/block_mlp.py::tail_fusable; A/B'd in PROFILE.md).
-    # -1 = auto (factory default: currently OFF everywhere — see the r5
-    # wide_tail retraction note in PROFILE.md)
+    # -1 = auto (factory default: ON for convnext_large only — r5 TRUE A/B
+    # measured L −10.4%, B dead neutral; see PROFILE.md round-5)
     wide_tail: int = -1
     # two-kernel full backward for the fused tail (ds+dA pass, then a
     # matmul-shaped dw1 pass — ops/block_mlp.py::_bwd_split; A/B'd in

@@ -62,12 +62,13 @@ def get_model(
     attn_impl: str = "qkv",  # ViT fused-attention kernel version (models/vit.py Attention)
     stem_s2d: bool = False,  # ConvStem stride-2 convs via space-to-depth (ops/stem_conv.py)
     # fused-tail FULL backward past C=512 (ops/block_mlp.py::tail_fusable).
-    # None = auto, currently OFF everywhere. History: the r4 queue13
-    # "-25.6%/-11.9% on convnext_base/large" A/B was an ARTIFACT — the knob
-    # was never forwarded to hierarchical-ConvNeXt blocks (fixed round 5;
-    # fresh controls: b224 305.4 OFF vs 305.0 "ON", l224 674.8 vs 674.7),
-    # so auto-ON had never actually been measured. Flip per-arch only with
-    # a real same-code A/B (experiments/run_queue18.sh).
+    # None = auto: ON for convnext_large only — the round-5 TRUE A/B
+    # (queue18, after fixing the forwarding bug that made the knob a no-op
+    # on hierarchical ConvNeXt): L@224 AT 674.8 -> 604.5 ms (-10.4%, the
+    # 27 C=768 stage-2 blocks), B@224 305.4 -> 305.4 (dead neutral: only
+    # 3 C=1024 blocks and accumulator-starved tiles), ViT-B neutral-
+    # negative (230.8 -> 232.6). PROFILE.md round-5 has the full story,
+    # including the retraction of the r4 stale-control "A/B".
     wide_tail: bool | None = None,
     # two-kernel full backward for the fused tail (VERDICT r4 item#5 A/B;
     # ops/block_mlp.py::_bwd_split)
@@ -78,7 +79,7 @@ def get_model(
     The module's signature is `module(x, train=False)` with NHWC [0,1] inputs.
     """
     if wide_tail is None:
-        wide_tail = False
+        wide_tail = name == "convnext_large"
     common = dict(num_classes=num_classes, dtype=dtype, use_blurpool=use_blurpool)
     meta = None
 
