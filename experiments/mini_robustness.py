@@ -206,18 +206,24 @@ def stage_l2(arch: str = ARCH) -> None:
 def stage_res224(arch: str = ARCH) -> None:
     """Mini-robustness at the PRODUCTION resolution (VERDICT r4 missing#4):
     the stored 64px digits are upscaled to 224 by the real tf.data pipeline
-    (RRC decode path), trained at bs80 with --data.augmentations 1 (full
-    RandAugment magnitudes + mixup/cutmix, the headline-step program shape
-    modulo num_classes=10), then AutoAttack'd at 224."""
+    (RRC decode path), trained at bs80, then AutoAttack'd at 224.
+
+    augmentations=0, matching the proven 64px protocol: the first run at
+    augmentations=1 collapsed the AT arm to the uniform-logits minimum
+    (train_loss pinned at ln(10)=2.303 for 100+ epochs — RandAugment+mixup
+    +2-step-APGD is too hard on 1497 toy images; the known hard-AT regime,
+    cf. the EPS note above). The full-recipe PROGRAM at 224 is separately
+    proven on-chip (t224_fullrecipe/b224_fullrecipe bench rows); this
+    stage's job is the robustness-efficacy proof at production resolution."""
     suffix = ("" if arch == ARCH else f"_{arch}") + "_224"
     clean = _train_one("clean", "none", epochs=40, arch=arch, suffix=suffix,
-                       res=224, batch_size=80, augmentations=1)
+                       res=224, batch_size=80, augmentations=0)
     at = _train_one("at", "apgd", epochs=150, arch=arch, suffix=suffix,
-                    res=224, batch_size=80, augmentations=1)
+                    res=224, batch_size=80, augmentations=0)
     rows = {
         "dataset": "sklearn digits upscaled 64->224 by the tf.data pipeline",
         "arch": arch + " + ConvStem", "res": 224, "eps_linf": EPS,
-        "recipe": "bs80, augmentations=1 (RandAugment+mixup/cutmix+ls=0.1)",
+        "recipe": "bs80, augmentations=0 (64px protocol at 224; see docstring)",
         "clean_run": str(clean), "at_run": str(at),
         "clean_model": _eval_one(clean, f"clean{suffix}", img_size=224),
         "at_model": _eval_one(at, f"at{suffix}", img_size=224),
