@@ -179,28 +179,42 @@ def stage_fgsm(arch: str = ARCH) -> None:
               f"clean-trained {c['robust_acc']}% and APGD-AT {a['robust_acc']}%")
 
 
-def stage_l2(arch: str = ARCH) -> None:
-    """L2-APGD adversarial TRAINING arm (VERDICT r4 missing#3: the one
-    untraveled training path — reference apgd_train handles any norm,
-    autopgd_train_clean.py:228-250) + cross-norm eval table: both AT models
-    evaluated under Linf AND L2 (the paper's generalization-across-threat-
-    models theme at mini scale)."""
+L1_EPS = 6.0  # the r3 cross-norm eval point at 64px (reference 224px: 75)
+
+
+def _norm_at_arm(norm: str, eps: float, arch: str) -> None:
+    """AT-training arm under `norm` through the full CLI + cross-norm eval
+    (VERDICT r4 missing#3: reference apgd_train handles any norm,
+    autopgd_train_clean.py:228-250)."""
+    tag = norm.lower()
     suffix = "" if arch == ARCH else f"_{arch}"
-    run = _train_one("l2at", "apgd", epochs=150, arch=arch, suffix=suffix,
-                     norm="L2", eps=L2_EPS)
-    epss = f"{EPS},{L2_EPS}"
-    l2_row = _eval_one(run, f"l2at{suffix}", norms="Linf,L2", epss=epss)
+    run = _train_one(f"{tag}at", "apgd", epochs=150, arch=arch, suffix=suffix,
+                     norm=norm, eps=eps)
+    norms = f"Linf,{norm}"
+    epss = f"{EPS},{eps}"
+    row = _eval_one(run, f"{tag}at{suffix}", norms=norms, epss=epss)
     out = REPO / "experiments" / f"RESULTS_mini{suffix}.json"
     res = json.loads(out.read_text()) if out.exists() else {}
-    cross = {"l2_at_model": l2_row, "eps": {"Linf": EPS, "L2": L2_EPS}}
+    cross = dict(res.get("cross_norm", {}))
+    cross[f"{tag}_at_model"] = row
+    cross.setdefault("eps", {})["Linf"] = EPS
+    cross["eps"][norm] = eps
     # container restarts wipe runs/: only cross-eval the Linf-AT model if
     # its checkpoint still exists on disk
     if "at_run" in res and (Path(res["at_run"]) / "params.json").exists():
         cross["linf_at_model"] = _eval_one(
-            Path(res["at_run"]), f"at_xnorm{suffix}", norms="Linf,L2", epss=epss)
-    res = _merge_results(out, {"l2_at_run": str(run), "cross_norm": cross})
+            Path(res["at_run"]), f"at_xnorm{suffix}", norms=norms, epss=epss)
+    res = _merge_results(out, {f"{tag}_at_run": str(run), "cross_norm": cross})
     print(json.dumps({"cross_norm": cross}, indent=2))
-    assert l2_row["robust_acc_L2"] > 30.0, l2_row
+    assert row[f"robust_acc_{norm}"] > 30.0, row
+
+
+def stage_l2(arch: str = ARCH) -> None:
+    _norm_at_arm("L2", L2_EPS, arch)
+
+
+def stage_l1(arch: str = ARCH) -> None:
+    _norm_at_arm("L1", L1_EPS, arch)
 
 
 def stage_res224(arch: str = ARCH) -> None:
@@ -240,11 +254,12 @@ def stage_res224(arch: str = ARCH) -> None:
 
 def main(stage: str = "all", arch: str = ARCH) -> None:
     t0 = time.time()
-    if stage in ("fgsm", "l2", "res224"):
+    if stage in ("fgsm", "l2", "l1", "res224"):
         # round-5 arms (VERDICT r4 missing #2/#3/#4); data must exist
         if not DATA.exists():
             prepare()
-        {"fgsm": stage_fgsm, "l2": stage_l2, "res224": stage_res224}[stage](arch)
+        {"fgsm": stage_fgsm, "l2": stage_l2, "l1": stage_l1,
+         "res224": stage_res224}[stage](arch)
         return
     # second family proof (e.g. `all vit_s`) writes its own artifacts and
     # run dirs; the default convnext_tiny names stay unchanged
