@@ -62,6 +62,7 @@ def main(argv=None):
                     seed=cfg.data.seed,
                     num_parallel=cfg.data.num_workers,
                     subset_size=cfg.data.subset_size,
+                    cache_decoded=bool(cfg.data.in_memory),
                 ),
                 jax.process_index(),
                 jax.process_count(),
@@ -91,6 +92,7 @@ def main(argv=None):
                     batch_size=cfg.validation.batch_size,
                     is_train=False,
                     drop_remainder=True,
+                    cache_decoded=bool(cfg.data.in_memory),
                 ),
                 jax.process_index(),
                 jax.process_count(),

@@ -48,6 +48,9 @@ class DataSection:
     train_dataset: str = ""
     val_dataset: str = ""
     num_workers: int = 1
+    # cache decoded images in host RAM across epochs (reference main.py:128
+    # intent); auto-skipped when the working set exceeds ~4 GB (ImageNet-
+    # scale never caches) — data/folder.py FolderConfig.cache_decoded
     in_memory: int = 1
     seed: int = 0
     augmentations: int = 0

@@ -44,6 +44,15 @@ class FolderConfig:
     # class dirs, so basename order reproduces that exact subset; the
     # default class-dir order would instead take only the first few classes.
     sort_by_basename: bool = False
+    # cache decoded images in host RAM across epochs (the reference's
+    # --data.in_memory intent, main.py:128): train caches the DECODED full
+    # image (RRC stays random per epoch, applied post-cache), eval caches
+    # the final resized tensor (deterministic). Auto-skipped when the
+    # estimated working set exceeds cache_budget_bytes — ImageNet-scale
+    # never caches; small/medium sets stop re-decoding every epoch (on a
+    # 1-core host the 224px mini runs were decode-bound at 20-40 s/epoch).
+    cache_decoded: bool = False
+    cache_budget_bytes: int = 4 << 30
 
 
 def list_image_folder(root: str | Path) -> tuple[list[str], list[int], list[str]]:
@@ -79,11 +88,18 @@ def make_folder_dataset(cfg: FolderConfig, process_index: int = 0, process_count
     ds = tf.data.Dataset.from_tensor_slices((files, np.asarray(labels, np.int32)))
     ds = ds.shard(process_count, process_index)
 
-    if cfg.is_train:
+    res = cfg.resolution
+    # working-set estimate for the decoded cache: res²·3 B per image is the
+    # right proxy for eval (final tensors) and a reasonable one for train
+    # (sources near the train res); ImageNet-scale always exceeds the budget
+    use_cache = (
+        cfg.cache_decoded
+        and len(files) * res * res * 3 <= cfg.cache_budget_bytes
+    )
+
+    if cfg.is_train and not use_cache:
         ds = ds.shuffle(min(cfg.shuffle_buffer, max(len(files), 1)), seed=cfg.seed,
                         reshuffle_each_iteration=True)
-
-    res = cfg.resolution
 
     def load_train(path, label):
         raw = tf.io.read_file(path)
@@ -128,10 +144,45 @@ def make_folder_dataset(cfg: FolderConfig, process_index: int = 0, process_count
         img = tf.cast(tf.clip_by_value(img, 0, 255), tf.uint8)
         return img, label
 
-    ds = ds.map(
-        load_train if cfg.is_train else load_eval,
-        num_parallel_calls=cfg.num_parallel,
-    )
+    def decode_full(path, label):
+        raw = tf.io.read_file(path)
+        img = tf.image.decode_image(raw, channels=3, expand_animations=False)
+        img.set_shape([None, None, 3])
+        return img, label
+
+    def rrc_from_tensor(img, label):
+        """RandomResizedCrop on an already-decoded tensor — same crop
+        distribution as the fused decode_and_crop path (load_train)."""
+        bbox = tf.image.sample_distorted_bounding_box(
+            tf.shape(img),
+            bounding_boxes=tf.zeros([1, 0, 4]),
+            area_range=cfg.scale,
+            aspect_ratio_range=cfg.ratio,
+            max_attempts=10,
+            use_image_if_no_bounding_boxes=True,
+        )
+        offset, size, _ = bbox
+        img = tf.slice(img, offset, size)
+        img = tf.image.resize(img, (res, res), method="bicubic")
+        img = tf.cast(tf.clip_by_value(img, 0, 255), tf.uint8)
+        return img, label
+
+    if cfg.is_train:
+        if use_cache:
+            # decode once, keep the decoded image resident; crop+resize
+            # stays random per epoch (shuffle AFTER the cache so it still
+            # reshuffles each iteration)
+            ds = ds.map(decode_full, num_parallel_calls=cfg.num_parallel)
+            ds = ds.cache()
+            ds = ds.shuffle(min(cfg.shuffle_buffer, max(len(files), 1)),
+                            seed=cfg.seed, reshuffle_each_iteration=True)
+            ds = ds.map(rrc_from_tensor, num_parallel_calls=cfg.num_parallel)
+        else:
+            ds = ds.map(load_train, num_parallel_calls=cfg.num_parallel)
+    else:
+        ds = ds.map(load_eval, num_parallel_calls=cfg.num_parallel)
+        if use_cache:
+            ds = ds.cache()  # final resized tensors are deterministic
     ds = ds.batch(cfg.batch_size, drop_remainder=cfg.drop_remainder)
     ds = ds.prefetch(4)
     return ds.as_numpy_iterator, len(files) // (cfg.batch_size * process_count)

@@ -120,6 +120,55 @@ class TestImageFolder:
         assert n0 + n1 == 6 and abs(n0 - n1) <= 1
 
 
+class TestDecodedCache:
+    """cache_decoded (data.in_memory): decoded images resident across
+    epochs — train keeps RRC random per epoch, eval returns the exact
+    uncached tensors, and the budget guard excludes oversized sets."""
+
+    def test_train_cache_valid_and_random_per_epoch(self, tmp_path):
+        from revisiting_at_tpu.data.folder import FolderConfig, make_folder_dataset
+
+        make_image_tree(str(tmp_path), n_per_class=4, size=48)
+        it_fn, _ = make_folder_dataset(
+            FolderConfig(root=str(tmp_path), resolution=32, batch_size=8,
+                         is_train=True, shuffle_buffer=8, cache_decoded=True)
+        )
+        e1 = np.concatenate([b[0] for b in it_fn()])
+        e2 = np.concatenate([b[0] for b in it_fn()])
+        assert e1.shape == (8, 32, 32, 3) and e1.dtype == np.uint8
+        # crops/shuffle must stay random ACROSS epochs (cache sits before
+        # the shuffle+RRC stages)
+        assert not np.array_equal(e1, e2)
+
+    def test_eval_cache_bit_identical_to_uncached(self, tmp_path):
+        from revisiting_at_tpu.data.folder import FolderConfig, make_folder_dataset
+
+        make_image_tree(str(tmp_path), size=64)
+        kw = dict(root=str(tmp_path), resolution=32, batch_size=2,
+                  is_train=False, drop_remainder=False)
+        it_plain, _ = make_folder_dataset(FolderConfig(**kw))
+        it_cached, _ = make_folder_dataset(FolderConfig(cache_decoded=True, **kw))
+        plain = np.concatenate([b[0] for b in it_plain()])
+        first = np.concatenate([b[0] for b in it_cached()])
+        second = np.concatenate([b[0] for b in it_cached()])  # from cache
+        np.testing.assert_array_equal(plain, first)
+        np.testing.assert_array_equal(first, second)
+
+    def test_budget_guard_skips_oversized_sets(self, tmp_path):
+        from revisiting_at_tpu.data.folder import FolderConfig, make_folder_dataset
+
+        make_image_tree(str(tmp_path))
+        # budget below one image: the cache must be skipped but the
+        # pipeline still works (falls back to the fused decode path)
+        it_fn, _ = make_folder_dataset(
+            FolderConfig(root=str(tmp_path), resolution=32, batch_size=2,
+                         is_train=True, shuffle_buffer=8,
+                         cache_decoded=True, cache_budget_bytes=16)
+        )
+        images, _ = next(iter(it_fn()))
+        assert images.shape == (2, 32, 32, 3)
+
+
 class TestOnDeviceAugment:
     def test_augment_batch_shapes_and_determinism(self):
         from revisiting_at_tpu.data.augment import RandAugmentConfig, augment_batch
