@@ -49,8 +49,10 @@ class FolderConfig:
     # image (RRC stays random per epoch, applied post-cache), eval caches
     # the final resized tensor (deterministic). Auto-skipped when the
     # estimated working set exceeds cache_budget_bytes — ImageNet-scale
-    # never caches; small/medium sets stop re-decoding every epoch (on a
-    # 1-core host the 224px mini runs were decode-bound at 20-40 s/epoch).
+    # never caches. Measured A/B (queue24, 224px digits, idle 1-core
+    # host): NEUTRAL steady-state (5.2 vs 5.3 s/epoch — tf.data's 8-way
+    # parallel decode keeps up when the core is free); the win is bounded
+    # to CPU-contended hosts, where re-decode epochs ran 4-8x slower.
     cache_decoded: bool = False
     cache_budget_bytes: int = 4 << 30
 
