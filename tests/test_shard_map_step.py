@@ -118,5 +118,48 @@ class TestShardMapStep:
             assert "16,32,32" not in line, line
 
 
+class TestWideTailUnderShardMap:
+    def test_wide_block_grads_match_reference_in_shard_map(self):
+        """The wide-tail fused FULL backward (default-ON for convnext_large
+        since r5) must be shard-local-correct inside shard_map — the
+        multichip ConvNeXt-L path. One C=768 block, batch sharded 8 ways;
+        grads must match the plain-jnp block run the same way."""
+        from jax.sharding import Mesh, PartitionSpec as P
+        from jax import shard_map
+
+        from revisiting_at_tpu.models.convnext import ConvNeXtBlock
+
+        kw = dict(dim=768, dtype=jnp.float32)
+        blk_k = ConvNeXtBlock(use_pallas=True, pallas_interpret=True,
+                              wide_tail=True, **kw)
+        blk_r = ConvNeXtBlock(use_pallas=False, **kw)
+        x0 = jax.random.uniform(jax.random.PRNGKey(0), (8, 8, 8, 768))
+        v = blk_r.init(jax.random.PRNGKey(1), x0[:1], False)
+
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+
+        def make_fn(blk):
+            def local(xb):
+                def loss(params):
+                    y = blk.apply({"params": params}, xb, False)
+                    return jnp.sum(y.astype(jnp.float32) ** 2)
+
+                l, g = jax.value_and_grad(loss)(v["params"])
+                return jax.lax.psum(l, "data"), jax.lax.psum(g, "data")
+
+            return jax.jit(
+                shard_map(local, mesh=mesh, in_specs=P("data"),
+                          out_specs=(P(), P()), check_vma=False)
+            )
+
+        lk, gk = make_fn(blk_k)(x0)
+        lr, gr = make_fn(blk_r)(x0)
+        assert abs(float(lk) - float(lr)) / (abs(float(lr)) + 1e-6) < 1e-2
+        for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gr)):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            denom = np.abs(b).max() + 1e-6
+            assert np.abs(a - b).max() / denom < 3e-2
+
+
 if __name__ == "__main__":
     sys.exit(pytest.main([__file__, "-x", "-q"]))
