@@ -17,9 +17,15 @@ end-to-end on real images at a scale that fits this environment:
 Success = AT model robust-acc >> clean model robust-acc, both clean accs
 sane. Results land in experiments/RESULTS_mini.json (+ .md summary).
 
-Run (needs the TPU to itself; ~10 min):
+Run (needs the TPU to itself; ~10 min for `all`, longer for 224px):
   python experiments/mini_robustness.py all
-  python experiments/mini_robustness.py all vit_s   # ViT-family twin proof
+  python experiments/mini_robustness.py all vit_s    # ViT-family twin proof
+Round-5 stages (each merges into RESULTS_mini*.json; optional 2nd arg
+selects the family):
+  python experiments/mini_robustness.py fgsm     # RS-FGSM-AT arm
+  python experiments/mini_robustness.py l2       # L2-AT + cross-norm table
+  python experiments/mini_robustness.py l1       # L1-AT + cross-norm table
+  python experiments/mini_robustness.py res224   # both twins at 224px
 """
 
 from __future__ import annotations
